@@ -1,0 +1,285 @@
+"""Transformer blocks of the spatiotemporal UNet (Flax).
+
+Behavioral counterpart of ``vwm/modules/attention.py`` and
+``vwm/modules/video_attention.py``:
+
+- ``CrossAttention``: q/k/v/out projections with optional rank-16 LoRA
+  adapters (zero-init up, attention.py:294-316) and optional *action-control*
+  adapters — the cross-attention context carries ``128*19 = 2432`` extra
+  feature dims beyond ``context_dim`` that are split off and added to K/V
+  through zero-init linears (attention.py:318-324,341-353);
+- ``TransformerBlock``: pre-LN self-attn -> cross-attn -> GEGLU FF
+  (BasicTransformerBlock, attention.py:424-524);
+- ``TemporalTransformerBlock``: attention over the ``t``-frame axis per
+  spatial location, with optional input FF (VideoTransformerBlock,
+  video_attention.py:12-144);
+- ``SpatialVideoTransformer``: interleaves spatial blocks with temporal
+  blocks, adds a learned sinusoidal frame-position embedding, and merges via
+  a learned AlphaBlender (video_attention.py:227-296).
+
+TPU-first notes: the temporal rearrange ``(b t) s c -> (b s) t c`` is a pure
+reshape/transpose fused by XLA; no 32768-row chunking is needed (that was an
+xformers CUDA limit); softmax accumulates in fp32; LoRA/action adapters are
+extra matmuls fused alongside the main projections.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vista_tpu.models.layers import AlphaBlender, GroupNorm32, dense, timestep_embedding, zero_init
+from vista_tpu.ops.attention import dot_product_attention
+
+Array = jnp.ndarray
+
+ACTION_CONTEXT_DIM = 128 * 19  # five action modalities x 128-dim sinusoidal embeds
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics (torch-parity eps 1e-5)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
+                           name="ln")(x.astype(jnp.float32))
+        return out.astype(x.dtype)
+
+
+class LoRAAdapter(nn.Module):
+    """rank-r adapter: ``up(down(x)) * scale`` with zero-init up projection."""
+
+    rank: int
+    out_dim: int
+    scale: float = 1.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        down = dense(self.rank, use_bias=False, dtype=self.dtype, name="down",
+                     kernel_init=nn.initializers.normal(1.0 / self.rank))(x)
+        up = dense(self.out_dim, use_bias=False, dtype=self.dtype, name="up",
+                   kernel_init=zero_init)(down)
+        return up * self.scale
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when ``context`` is None."""
+
+    heads: int
+    dim_head: int
+    query_dim: int
+    context_dim: Optional[int] = None  # None -> self-attention
+    add_lora: bool = False
+    lora_rank: int = 16
+    lora_scale: float = 1.0
+    action_control: bool = False
+    causal: bool = False
+    backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+
+        ctx_action = None
+        if self.action_control:
+            assert self.context_dim is not None
+            ctx, ctx_action = ctx[..., : self.context_dim], ctx[..., self.context_dim:]
+
+        q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        if self.add_lora:
+            q = q + LoRAAdapter(self.lora_rank, inner, self.lora_scale, self.dtype, name="q_adapter")(x)
+            k = k + LoRAAdapter(self.lora_rank, inner, self.lora_scale, self.dtype, name="k_adapter")(ctx)
+            v = v + LoRAAdapter(self.lora_rank, inner, self.lora_scale, self.dtype, name="v_adapter")(ctx)
+
+        if self.action_control:
+            k = k + dense(inner, use_bias=False, dtype=self.dtype, name="k_adapter_action",
+                          kernel_init=zero_init)(ctx_action)
+            v = v + dense(inner, use_bias=False, dtype=self.dtype, name="v_adapter_action",
+                          kernel_init=zero_init)(ctx_action)
+
+        b, s_q = q.shape[0], q.shape[1]
+        s_kv = k.shape[1]
+        q = q.reshape(b, s_q, self.heads, self.dim_head)
+        k = k.reshape(b, s_kv, self.heads, self.dim_head)
+        v = v.reshape(b, s_kv, self.heads, self.dim_head)
+
+        out = dot_product_attention(q, k, v, backend=self.backend, causal=self.causal)
+        out = out.reshape(b, s_q, inner)
+
+        y = dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+        if self.add_lora:
+            y = y + LoRAAdapter(self.lora_rank, self.query_dim, self.lora_scale, self.dtype,
+                                name="out_adapter")(out)
+        return y
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU feed-forward: ``Dense(d, 2*mult*d) -> x * gelu(gate) -> Dense``."""
+
+    dim_out: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        inner = int(x.shape[-1] * self.mult)
+        proj = dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return dense(self.dim_out, dtype=self.dtype, name="proj_out")(h)
+
+
+class TransformerBlock(nn.Module):
+    """Spatial block: pre-LN self-attn -> cross-attn(context) -> GEGLU FF."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    add_lora: bool = False
+    action_control: bool = False
+    backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
+        x = x + CrossAttention(
+            self.heads, self.dim_head, self.dim, context_dim=None, add_lora=self.add_lora,
+            backend=self.backend, dtype=self.dtype, name="attn1",
+        )(LayerNorm(name="norm1")(x))
+        x = x + CrossAttention(
+            self.heads, self.dim_head, self.dim, context_dim=self.context_dim,
+            add_lora=self.add_lora, action_control=self.action_control,
+            backend=self.backend, dtype=self.dtype, name="attn2",
+        )(LayerNorm(name="norm2")(x), context=context)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        return x
+
+
+class TemporalTransformerBlock(nn.Module):
+    """Temporal block over the frame axis: tokens are the ``t`` frames.
+
+    Input ``(b*t, s, c)`` is viewed as ``(b*s, t, c)`` so every spatial
+    location attends over its 25-frame history (video_attention.py:116).
+    Shipped Vista uses ``ff_in=True`` (extra_ff_mix_layer) and
+    ``use_spatial_context=True`` (cross-attn over the CLIP/action context).
+    """
+
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    ff_in: bool = True
+    add_lora: bool = False
+    action_control: bool = False
+    backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, num_frames: int, time_context: Optional[Array] = None) -> Array:
+        bt, s, c = x.shape
+        b = bt // num_frames
+        # (b t) s c -> (b s) t c
+        x = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
+
+        if self.ff_in:
+            x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff_in")(
+                LayerNorm(name="norm_in")(x))
+
+        x = x + CrossAttention(
+            self.heads, self.dim_head, self.dim, context_dim=None, add_lora=self.add_lora,
+            backend=self.backend, dtype=self.dtype, name="attn1",
+        )(LayerNorm(name="norm1")(x))
+
+        if time_context is not None or self.context_dim is not None:
+            x = x + CrossAttention(
+                self.heads, self.dim_head, self.dim, context_dim=self.context_dim,
+                add_lora=self.add_lora, action_control=self.action_control,
+                backend=self.backend, dtype=self.dtype, name="attn2",
+            )(LayerNorm(name="norm2")(x), context=time_context)
+
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+
+        # (b s) t c -> (b t) s c
+        x = x.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(bt, s, c)
+        return x
+
+
+class SpatialVideoTransformer(nn.Module):
+    """Spatial + temporal transformer pair with alpha-blend merge (NHWC in/out).
+
+    Per depth level: spatial TransformerBlock over the ``h*w`` tokens, then a
+    frame-position embedding is added and the TemporalTransformerBlock runs
+    over the ``t`` axis; the results merge through a learned AlphaBlender.
+    ``use_spatial_context``: the temporal cross-attention context is the
+    *first frame's* spatial context repeated per location
+    (video_attention.py:884-889).
+    """
+
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    merge_factor: float = 0.5
+    merge_strategy: str = "learned_with_images"
+    use_spatial_context: bool = True
+    ff_in: bool = True
+    max_time_embed_period: int = 10000
+    add_lora: bool = False
+    action_control: bool = False
+    backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array], num_frames: int) -> Array:
+        bt, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+
+        time_context = None
+        if self.use_spatial_context and context is not None:
+            # first frame's context per video, repeated per spatial location:
+            # (b*t, 1, d) -> (b, 1, d) -> (b*h*w, 1, d)
+            b = bt // num_frames
+            first = context.reshape(b, num_frames, *context.shape[1:])[:, 0]
+            time_context = jnp.repeat(first, h * w, axis=0)
+
+        x = GroupNorm32(num_groups=32, eps=1e-6, name="norm")(x)
+        x = x.reshape(bt, h * w, c)
+        x = dense(inner, dtype=self.dtype, name="proj_in")(x)
+
+        # learned MLP over a sinusoidal frame-index embedding, added before the
+        # temporal block (video_attention.py:902-917)
+        frame_idx = jnp.tile(jnp.arange(num_frames, dtype=jnp.float32), bt // num_frames)
+        t_emb = timestep_embedding(frame_idx, self.channels,
+                                   max_period=self.max_time_embed_period, dtype=self.dtype)
+        pos = dense(self.channels * 4, dtype=self.dtype, name="time_pos_embed_fc1")(t_emb)
+        pos = dense(inner, dtype=self.dtype, name="time_pos_embed_fc2")(nn.silu(pos))
+        pos = pos[:, None]
+
+        blender = AlphaBlender(self.merge_factor, self.merge_strategy, name="time_mixer")
+        for d in range(self.depth):
+            x = TransformerBlock(
+                inner, self.heads, self.dim_head, context_dim=self.context_dim,
+                add_lora=self.add_lora, action_control=self.action_control,
+                backend=self.backend, dtype=self.dtype, name=f"block_{d}",
+            )(x, context=context)
+            x_mix = TemporalTransformerBlock(
+                inner, self.heads, self.dim_head, context_dim=self.context_dim,
+                ff_in=self.ff_in, add_lora=self.add_lora, action_control=self.action_control,
+                backend=self.backend, dtype=self.dtype, name=f"time_block_{d}",
+            )(x + pos, num_frames=num_frames, time_context=time_context)
+            x = blender(x, x_mix)
+
+        x = dense(self.channels, dtype=self.dtype, name="proj_out", kernel_init=zero_init)(x)
+        x = x.reshape(bt, h, w, self.channels)
+        return x + x_in

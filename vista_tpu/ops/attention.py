@@ -1,0 +1,64 @@
+"""Attention dispatch: XLA reference path and the Pallas flash kernel.
+
+Replaces the reference's xformers ``memory_efficient_attention`` CUDA path
+(vwm/modules/attention.py:384-407). Two workload shapes matter (SURVEY.md
+§2.9, §5.7):
+
+- *spatial*: sequences of h*w tokens (2304..9216 at 576x1024), batch b*t —
+  long-sequence flash attention on the MXU;
+- *temporal*: sequences of only ``t=25`` tokens but batch b*h*w (tens of
+  thousands) — a tiny-seq/huge-batch problem where the reference needed
+  32768-row chunking; on TPU it lowers to one batched matmul, no chunking.
+
+``backend="xla"`` uses XLA's fused attention lowering with an fp32 softmax.
+``backend="pallas"`` calls the Pallas TPU flash kernel
+(vista_tpu/ops/flash_attention.py) for the long-sequence shapes and falls
+back to XLA when the shape doesn't profit from it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """(B, S, H, D) attention with fp32 softmax accumulation."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def dot_product_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    backend: str = "xla",
+    causal: bool = False,
+) -> Array:
+    """Multi-head attention over ``(batch, seq, heads, head_dim)`` tensors."""
+    scale = q.shape[-1] ** -0.5
+    if causal and backend != "xla":
+        backend = "xla"  # the causal path is cold (unused in shipped configs)
+
+    if backend == "pallas":
+        from vista_tpu.ops.flash_attention import flash_attention, flash_shape_supported
+
+        if flash_shape_supported(q.shape, k.shape):
+            return flash_attention(q, k, v)
+        backend = "xla"
+
+    if causal:
+        s_q, s_k = q.shape[1], k.shape[1]
+        mask = jnp.tril(jnp.ones((s_q, s_k), dtype=bool))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = jnp.where(mask[None, None], logits * scale, -jnp.inf)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+    return _xla_attention(q, k, v, scale)
