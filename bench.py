@@ -1,0 +1,121 @@
+"""Benchmark: frames/sec/chip for the Vista sampling hot path on TPU.
+
+Measures the end-to-end sampling pipeline on one chip — the CFG-doubled
+denoising loop on the full-size (~1.5B-param) VideoUNet plus the chunked
+temporal VAE decode — and prints ONE JSON line.
+
+Config (default): 25 frames at 320x576 latent resolution, 10 EDM steps,
+vanilla CFG 2.5 — BASELINE.md benchmark config #1. Weights are random
+(throughput is weight-independent; the released vista.safetensors importer
+lives in vista_tpu/utils/checkpoint.py).
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md). The
+baseline constant below is an *analytic estimate* of the PyTorch reference
+on A100 at the same config, derived from community-reported ~0.25 frames/s
+at 576x1024 with 50 steps, scaled by pixel count (x3.2) and step count
+(x5): ~4 frames/s. Replace with a measured number when an A100 runner
+exists.
+"""
+
+import argparse
+import json
+import time
+
+BASELINE_FPS_ESTIMATE = 4.0  # A100 torch reference @320x576/10 steps (analytic)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--width", type=int, default=576)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--frames", type=int, default=25)
+    p.add_argument("--cfg-scale", type=float, default=2.5)
+    p.add_argument("--no-decode", action="store_true")
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vista_tpu.diffusion import GuiderConfig, SamplerConfig, precondition_denoise, sample_euler_edm
+    from vista_tpu.models.unet import VideoUNet, VideoUNetConfig
+    from vista_tpu.models.vae import VAEConfig, VideoVAEDecoder
+
+    on_tpu = jax.default_backend() == "tpu"
+    ucfg = VideoUNetConfig(attn_backend="pallas" if on_tpu else "xla")
+    vcfg = VAEConfig()
+    t = args.frames
+    f = vcfg.downsample_factor
+    hl, wl = args.height // f, args.width // f
+
+    unet = VideoUNet(ucfg)
+    decoder = VideoVAEDecoder(vcfg)
+
+    key = jax.random.key(0)
+    x = jnp.zeros((t, hl, wl, ucfg.in_channels), jnp.bfloat16)
+    sigma = jnp.full((t,), 1.0)
+    ctx_dim = ucfg.context_dim + (128 * 19 if ucfg.action_control else 0)
+    context = jnp.zeros((1, 1, ctx_dim), jnp.bfloat16)
+    y = jnp.zeros((1, ucfg.adm_in_channels), jnp.bfloat16)
+    mask = jnp.zeros((t,)).at[0].set(1.0)
+
+    print("initializing UNet params...", flush=True)
+    unet_params = unet.init(key, x, sigma, context, y, mask, t)
+    dec_params = decoder.init(key, jnp.zeros((1, hl, wl, vcfg.z_channels)), 1)
+
+    def network_fn(xin, c_noise, cond, cond_mask):
+        xcat = jnp.concatenate([xin, cond["concat"].astype(xin.dtype)], axis=-1)
+        return unet.apply(unet_params, xcat, c_noise, cond["crossattn"], cond["vector"],
+                          cond_mask, t)
+
+    def denoise_fn(xx, s, cond, cond_mask):
+        return precondition_denoise(network_fn, xx, s, cond, cond_mask)
+
+    cond = {
+        "crossattn": jnp.ones((1, 1, ctx_dim), jnp.bfloat16),
+        "vector": jnp.ones((1, ucfg.adm_in_channels), jnp.bfloat16),
+        "concat": jnp.zeros((t, hl, wl, 4), jnp.bfloat16),
+    }
+    uc = {k: jnp.zeros_like(v) for k, v in cond.items()}
+    uc["vector"] = cond["vector"]
+
+    scfg = SamplerConfig(num_steps=args.steps,
+                         guider=GuiderConfig(kind="vanilla", scale=args.cfg_scale, num_frames=t))
+    cond_frame = jnp.zeros((t, hl, wl, 4))
+
+    @jax.jit
+    def sample(noise):
+        lat = sample_euler_edm(denoise_fn, noise, cond, uc, cond_frame=cond_frame,
+                               cond_mask=mask, config=scfg, num_frames=t)
+        if args.no_decode:
+            return lat
+        return decoder.apply(dec_params, lat.astype(jnp.bfloat16), t)
+
+    noise = jax.random.normal(jax.random.key(1), (t, hl, wl, 4))
+    print("compiling sampling program...", flush=True)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(sample(noise))
+    compile_time = time.perf_counter() - t0
+    print(f"compile+first-run: {compile_time:.1f}s", flush=True)
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(sample(noise))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    fps = args.frames / p50
+
+    print(json.dumps({
+        "metric": f"frames/sec/chip ({args.height}x{args.width}, {args.frames}f, "
+                  f"{args.steps} EDM steps, CFG, {'latent-only' if args.no_decode else 'incl. decode'})",
+        "value": round(fps, 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS_ESTIMATE, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

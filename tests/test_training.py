@@ -1,0 +1,189 @@
+"""Training-step contracts: loss decreases structure, param partitioning,
+EMA, LR schedules, grad accumulation, and the 8-device SPMD path."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from vista_tpu.diffusion.loss import LossConfig
+from vista_tpu.engine import EngineConfig, VistaEngine
+from vista_tpu.engine.ema import ema_update
+from vista_tpu.engine.lr_schedule import lambda_linear, warmup_cosine
+from vista_tpu.engine.training import (
+    TrainConfig,
+    create_train_state,
+    lr_mult_tree,
+    make_train_step,
+)
+
+H = W = 16
+
+
+def _tiny_engine(action_control=False, add_lora=False):
+    cfg = EngineConfig().tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        unet=dataclasses.replace(cfg.unet, dtype="float32", action_control=action_control,
+                                 add_lora=add_lora),
+        vae=dataclasses.replace(cfg.vae, dtype="float32"),
+        conditioner=dataclasses.replace(
+            cfg.conditioner,
+            action_control=action_control,
+            clip=dataclasses.replace(cfg.conditioner.clip, dtype="float32"),
+            vae=dataclasses.replace(cfg.conditioner.vae, dtype="float32"),
+        ),
+    )
+    return VistaEngine(cfg)
+
+
+def _batch(t, b=1):
+    rng = np.random.RandomState(0)
+    return {
+        "frames": jnp.asarray(rng.randn(b, t, H, W, 3) * 0.3, jnp.float32),
+        "fps_id": jnp.full((b,), 9.0),
+        "motion_bucket_id": jnp.full((b,), 127.0),
+        "cond_aug": jnp.zeros((b,)),
+    }
+
+
+class TestSchedules:
+    def test_lambda_linear_warmup_then_flat(self):
+        s = lambda_linear(warm_up_steps=10, f_start=0.0, f_min=1.0, f_max=1.0)
+        assert float(s(0)) == pytest.approx(0.0)
+        assert float(s(5)) == pytest.approx(0.5)
+        assert float(s(10)) == pytest.approx(1.0)
+        assert float(s(10000)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_warmup_cosine_endpoints(self):
+        s = warmup_cosine(10, 0.0, 0.1, 1.0, 110)
+        assert float(s(10)) == pytest.approx(1.0)
+        assert float(s(110)) == pytest.approx(0.1, abs=1e-6)
+
+
+class TestEMA:
+    def test_warmup_decay(self):
+        p = {"w": jnp.ones(3)}
+        e = {"w": jnp.zeros(3)}
+        out = ema_update(e, p, num_updates=1, decay=0.9999)
+        # d = min(0.9999, 2/11); e_new = e - (1-d)(e - p) = (1-d)*p
+        d = 2.0 / 11.0
+        np.testing.assert_allclose(np.asarray(out["w"]), 1.0 - d, rtol=1e-6)
+
+    def test_late_decay_saturates(self):
+        p = {"w": jnp.ones(3)}
+        e = {"w": jnp.zeros(3)}
+        out = ema_update(e, p, num_updates=10**8, decay=0.9999)
+        np.testing.assert_allclose(np.asarray(out["w"]), 1.0 - 0.9999, rtol=1e-2)
+
+
+class TestParamGroups:
+    def test_slow_spatial_partition(self):
+        engine = _tiny_engine()
+        params = engine.init_params(jax.random.key(0), H, W)
+        mults = lr_mult_tree(params["unet"], "slow_spatial", 0.1)
+        flat = jax.tree_util.tree_flatten_with_path(mults)[0]
+        temporal = [v for k, v in flat if any(
+            t in jax.tree_util.keystr(k) for t in ("time_stack", "time_block", "cond_time_stack_embed"))]
+        spatial = [v for k, v in flat if not any(
+            t in jax.tree_util.keystr(k) for t in ("time_stack", "time_block", "cond_time_stack_embed"))]
+        assert temporal and spatial
+        assert all(v == 1.0 for v in temporal)
+        assert all(v == 0.1 for v in spatial)
+
+    def test_lora_only_partition(self):
+        engine = _tiny_engine(add_lora=True)
+        params = engine.init_params(jax.random.key(0), H, W)
+        mults = lr_mult_tree(params["unet"], "lora_only")
+        flat = jax.tree_util.tree_flatten_with_path(mults)[0]
+        lora = [v for k, v in flat if "adapter" in jax.tree_util.keystr(k)]
+        rest = [v for k, v in flat if "adapter" not in jax.tree_util.keystr(k)]
+        assert lora and all(v == 1.0 for v in lora)
+        assert all(v == 0.0 for v in rest)
+
+
+class TestTrainStep:
+    def test_one_step_updates_and_metrics(self):
+        engine = _tiny_engine()
+        t = engine.cfg.num_frames
+        params = engine.init_params(jax.random.key(0), H, W)
+        tcfg = TrainConfig(
+            learning_rate=1e-4, warmup_steps=2,
+            loss=LossConfig(num_frames=t, replace_cond_frames=True,
+                            cond_frames_choices=((), (0,))),
+        )
+        state, tx = create_train_state(tcfg, params)
+        step = jax.jit(make_train_step(engine, tcfg, tx))
+        frozen = {k: v for k, v in params.items() if k != "unet"}
+        batch = _batch(t)
+        new_state, metrics = step(state, frozen, batch, jax.random.key(1))
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["grad_norm"]) > 0
+        # params changed
+        diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                            state.unet_params, new_state.unet_params)
+        assert max(jax.tree.leaves(diff)) > 0
+        # EMA moved toward the new params but is not equal to init
+        ema_diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                                new_state.ema_params, state.unet_params)
+        assert max(jax.tree.leaves(ema_diff)) > 0
+
+    def test_grad_accum_defers_update(self):
+        engine = _tiny_engine()
+        t = engine.cfg.num_frames
+        params = engine.init_params(jax.random.key(0), H, W)
+        tcfg = TrainConfig(learning_rate=1e-4, accum_steps=2,
+                           loss=LossConfig(num_frames=t))
+        state, tx = create_train_state(tcfg, params)
+        step = jax.jit(make_train_step(engine, tcfg, tx))
+        frozen = {k: v for k, v in params.items() if k != "unet"}
+        s1, _ = step(state, frozen, _batch(t), jax.random.key(1))
+        # after the first micro-step the params must be unchanged
+        diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                            state.unet_params, s1.unet_params)
+        assert max(jax.tree.leaves(diff)) == 0
+        s2, _ = step(s1, frozen, _batch(t), jax.random.key(2))
+        diff2 = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             state.unet_params, s2.unet_params)
+        assert max(jax.tree.leaves(diff2)) > 0
+
+
+class TestSPMD:
+    def test_8_device_data_parallel_step(self):
+        from vista_tpu.parallel import batch_sharding, fsdp_param_specs, make_mesh, shard_pytree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+        mesh = make_mesh({"data": 4, "fsdp": 2})
+
+        engine = _tiny_engine()
+        t = engine.cfg.num_frames
+        params = engine.init_params(jax.random.key(0), H, W)
+        tcfg = TrainConfig(learning_rate=1e-4, loss=LossConfig(num_frames=t))
+        state, tx = create_train_state(tcfg, params)
+        step = make_train_step(engine, tcfg, tx)
+
+        # shard: batch over data, train state over fsdp, frozen replicated
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())) if not hasattr(x, "shape") or x.ndim == 0
+            else x, state)
+        specs = fsdp_param_specs(state.unet_params, mesh)
+        state = state.replace(
+            unet_params=shard_pytree(state.unet_params, mesh, specs),
+            ema_params=shard_pytree(state.ema_params, mesh, specs),
+        )
+        frozen = {k: v for k, v in params.items() if k != "unet"}
+        frozen = jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), frozen)
+
+        batch = _batch(t, b=4)
+        batch = jax.tree.map(lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+
+        with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
+            jit_step = jax.jit(step)
+            new_state, metrics = jit_step(state, frozen, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == 1

@@ -48,6 +48,23 @@ class TestVideoUNet:
         # the overall tensors differ
         assert not np.allclose(np.asarray(out_masked), np.asarray(out_unmasked))
 
+    def test_remat_matches_plain(self, tiny_setup):
+        """remat=True must be numerically identical (just recompute on bwd)."""
+        import dataclasses
+        cfg, model, params, (x, t, context, y, cond_mask) = tiny_setup
+        cfg_r = dataclasses.replace(cfg, remat=True)
+        model_r = VideoUNet(cfg_r)
+        params_p = jax.tree.map(lambda p: p + 0.01, params)
+        out_plain = model.apply(params_p, x, t, context, y, cond_mask, cfg.num_frames)
+        out_remat = model_r.apply(params_p, x, t, context, y, cond_mask, cfg.num_frames)
+        np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_remat), atol=1e-5)
+
+        def loss(p):
+            return jnp.sum(model_r.apply(p, x, t, context, y, cond_mask, cfg.num_frames) ** 2)
+
+        g = jax.grad(loss)(params_p)
+        assert np.isfinite(max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g)))
+
     def test_action_control_context(self):
         """With action_control, context carries 2432 extra dims routed to K/V adapters."""
         from vista_tpu.models.attention import ACTION_CONTEXT_DIM
@@ -80,6 +97,7 @@ class TestVideoUNet:
         lora_keys = [jax.tree_util.keystr(k) for k, _ in flat if "adapter" in jax.tree_util.keystr(k)]
         assert lora_keys, "expected LoRA adapter params"
         # up-projections zero-init -> adapters contribute nothing at init
-        ups = [v for k, v in flat if "adapter" in jax.tree_util.keystr(k) and "up" in jax.tree_util.keystr(k)]
+        ups = [v for k, v in flat if "_adapter']['up']" in jax.tree_util.keystr(k)]
+        assert ups, "expected adapter up-projections"
         for u in ups:
             np.testing.assert_allclose(np.asarray(u), 0.0)

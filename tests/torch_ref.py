@@ -1,0 +1,48 @@
+"""Load the PyTorch reference modules (read-only) for golden-parity tests.
+
+Stubs the reference's unavailable heavy deps (pytorch_lightning, omegaconf,
+kornia, open_clip) so that only the pure-torch network modules import. Used
+to generate golden activations that pin our Flax ports to the reference math
+(SURVEY.md §4 "golden parity"). The reference falls back to its torch-SDPA
+attention when xformers is absent, which is numerically equivalent.
+"""
+
+import sys
+import types
+
+REFERENCE_PATH = "/root/reference"
+
+
+def _stub(name, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def load_reference():
+    """Import and return the reference torch modules (vwm.*)."""
+    import torch.nn as nn
+
+    _stub("pytorch_lightning", LightningModule=nn.Module, Callback=object)
+
+    class _ListConfig(list):
+        pass
+
+    _stub("omegaconf", ListConfig=_ListConfig, OmegaConf=types.SimpleNamespace(), DictConfig=dict)
+    _stub("kornia")
+    _stub("kornia.geometry")
+    _stub("kornia.enhance")
+    _stub("open_clip", create_model_and_transforms=None)
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+
+    from vwm.modules.diffusionmodules import video_model, model as vae_model
+    from vwm.modules.autoencoding import temporal_ae
+
+    return types.SimpleNamespace(
+        video_model=video_model, vae_model=vae_model, temporal_ae=temporal_ae)

@@ -1,0 +1,8 @@
+from vista_tpu.data.datasets import (  # noqa: F401
+    BaseVideoDataset,
+    DatasetConfig,
+    NuScenesDataset,
+    SyntheticVideoDataset,
+    YouTubeFramesDataset,
+)
+from vista_tpu.data.pipeline import DataPipeline, MultiSourceSampler, PipelineConfig  # noqa: F401

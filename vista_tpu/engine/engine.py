@@ -1,0 +1,274 @@
+"""The diffusion engine: networks + diffusion math wired into pure functions.
+
+Behavioral counterpart of ``vwm/models/diffusion.py`` (DiffusionEngine) minus
+the Lightning runtime: latent encode/decode with chunking and overlap-blended
+temporal decoding, the denoiser closure, and single-shot sampling. The
+training loop lives in ``vista_tpu/engine/training.py``; the autoregressive
+rollout in ``vista_tpu/engine/rollout.py``.
+
+Design notes (TPU-first):
+- one parameter pytree ``{"unet", "encoder", "decoder", "conditioner"}``;
+  the conditioner's cond-frame encoder *shares* the first-stage encoder
+  weights (the reference instantiates a redundant second VAE copy —
+  configs/inference/vista.yaml:69-98; here there is exactly one encoder);
+- encode/decode chunking is expressed with ``jax.lax.map`` over fixed-size
+  frame chunks (one compiled body), replacing the reference's Python
+  micro-batching (diffusion.py:149-195);
+- the overlap-blend decode (diffusion.py:149-180: decode windows of
+  ``chunk`` frames with ``overlap``-frame overlap, averaging the seam) keeps
+  the temporal VideoDecoder consistent across chunk boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, FrozenSet, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vista_tpu.diffusion.denoiser import precondition_denoise
+from vista_tpu.diffusion.sampler import SamplerConfig, sample_euler_edm
+from vista_tpu.diffusion.scaling import get_scaling
+from vista_tpu.models.conditioner import ConditionerConfig, GeneralConditioner
+from vista_tpu.models.unet import VideoUNet, VideoUNetConfig
+from vista_tpu.models.vae import (
+    VAEConfig,
+    VAEEncoder,
+    VideoVAEDecoder,
+    gaussian_mode,
+    gaussian_sample,
+)
+from vista_tpu.utils.basic import repeat_as_img_seq
+
+Array = jnp.ndarray
+Params = Dict
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    unet: VideoUNetConfig = dataclasses.field(default_factory=VideoUNetConfig)
+    vae: VAEConfig = dataclasses.field(default_factory=VAEConfig)
+    conditioner: ConditionerConfig = dataclasses.field(default_factory=ConditionerConfig)
+    scaling: str = "v_edm_cnoise"
+    num_frames: int = 25
+    decode_chunk: int = 14   # en_and_decode_n_samples_a_time (inference)
+    decode_overlap: int = 3
+    encode_chunk: int = 14
+
+    def tiny(self) -> "EngineConfig":
+        unet = self.unet.tiny()
+        cond = self.conditioner.tiny()
+        # keep the conditioner's output widths consistent with the tiny UNet:
+        # vector = 3 * vector_outdim == adm_in_channels; clip dim == context_dim
+        cond = dataclasses.replace(
+            cond,
+            vector_outdim=unet.adm_in_channels // 3,
+            clip=dataclasses.replace(cond.clip, output_dim=unet.context_dim),
+        )
+        return dataclasses.replace(
+            self,
+            unet=unet,
+            vae=self.vae.tiny(),
+            conditioner=cond,
+            num_frames=unet.num_frames,
+            decode_chunk=3,
+            decode_overlap=1,
+            encode_chunk=4,
+        )
+
+
+class VistaEngine:
+    """Stateless orchestrator: holds module definitions, params are explicit."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.unet = VideoUNet(cfg.unet)
+        self.encoder = VAEEncoder(cfg.vae)
+        self.decoder = VideoVAEDecoder(cfg.vae)
+        self.conditioner = GeneralConditioner(cfg.conditioner)
+        self.scaling = get_scaling(cfg.scaling)
+
+    # ---------------- init ----------------
+
+    def init_params(self, key: jax.Array, height: int, width: int) -> Params:
+        """Initialize all modules for a given pixel resolution."""
+        cfg = self.cfg
+        t = cfg.num_frames
+        f = cfg.vae.downsample_factor
+        hl, wl = height // f, width // f
+        zc = cfg.vae.z_channels
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+
+        x_unet = jnp.zeros((t, hl, wl, cfg.unet.in_channels))
+        ctx_dim = cfg.unet.context_dim + (128 * 19 if cfg.unet.action_control else 0)
+        context = jnp.zeros((1, 1, ctx_dim))
+        y = jnp.zeros((1, cfg.unet.adm_in_channels))
+        unet_params = self.unet.init(k1, x_unet, jnp.zeros((t,)), context, y, jnp.zeros((t,)), t)
+
+        pixels = jnp.zeros((1, height, width, cfg.vae.in_channels))
+        enc_params = self.encoder.init(k2, pixels)
+        dec_params = self.decoder.init(k3, jnp.zeros((t, hl, wl, zc)), t)
+
+        batch = {
+            "cond_frames_without_noise": jnp.zeros((1, height, width, 3)),
+            "cond_frames": jnp.zeros((1, height, width, 3)),
+            "fps_id": jnp.zeros((1,)),
+            "motion_bucket_id": jnp.zeros((1,)),
+            "cond_aug": jnp.zeros((1,)),
+        }
+        cond_params = self.conditioner.init(k4, batch)
+        # share the first-stage encoder with the conditioner's cond-frame encoder
+        cond_params = self._tie_encoder(cond_params, enc_params)
+        return {
+            "unet": unet_params["params"],
+            "encoder": enc_params["params"],
+            "decoder": dec_params["params"],
+            "conditioner": cond_params["params"],
+        }
+
+    @staticmethod
+    def _tie_encoder(cond_params: Dict, enc_params: Dict) -> Dict:
+        cond = dict(cond_params)
+        params = dict(cond["params"])
+        params["cond_frames_encoder"] = enc_params["params"]
+        cond["params"] = params
+        return cond
+
+    # ---------------- first stage ----------------
+
+    def encode_first_stage(
+        self, params: Params, pixels: Array, key: Optional[jax.Array] = None
+    ) -> Array:
+        """Pixels ``(n, h, w, 3)`` -> scaled latents ``(n, h/f, w/f, z)``.
+
+        Samples the diagonal-Gaussian posterior when ``key`` is given (the
+        first stage's regularizer samples; the conditioner's takes the mode),
+        otherwise uses the mode. Chunked over frames with ``lax.map`` so the
+        encoder body compiles once regardless of n.
+        """
+        cfg = self.cfg
+        n = pixels.shape[0]
+        chunk = min(cfg.encode_chunk, n)
+
+        def encode(x):
+            return self.encoder.apply({"params": params["encoder"]}, x)
+
+        if n % chunk == 0 and n > chunk:
+            xs = pixels.reshape(n // chunk, chunk, *pixels.shape[1:])
+            moments = jax.lax.map(encode, xs)
+            moments = moments.reshape(n, *moments.shape[2:])
+        else:
+            moments = encode(pixels)
+        z = gaussian_sample(moments, key) if key is not None else gaussian_mode(moments)
+        return z * cfg.vae.scale_factor
+
+    def decode_first_stage(self, params: Params, z: Array) -> Array:
+        """Scaled latents ``(n, hl, wl, z)`` -> pixels, overlap-blended chunks.
+
+        Windows of ``decode_chunk`` frames with ``decode_overlap`` shared
+        frames; seam regions are averaged (diffusion.py:160-174).
+        """
+        cfg = self.cfg
+        z = z / cfg.vae.scale_factor
+        n = z.shape[0]
+        chunk, overlap = cfg.decode_chunk, cfg.decode_overlap
+
+        def decode(zc, t):
+            return self.decoder.apply({"params": params["decoder"]}, zc, t)
+
+        if n <= chunk:
+            return decode(z, n)
+
+        outs = []
+        prev = z[:overlap]
+        step = chunk - overlap
+        start = overlap
+        while start < n:
+            cur = z[start:start + step]
+            window = jnp.concatenate([prev, cur], axis=0)
+            out = decode(window, window.shape[0])
+            if not outs:
+                outs.append(out)
+            else:
+                outs[-1] = outs[-1].at[-overlap:].set((outs[-1][-overlap:] + out[:overlap]) / 2.0)
+                outs.append(out[overlap:])
+            prev = cur[-overlap:]
+            start += step
+        return jnp.concatenate(outs, axis=0)
+
+    # ---------------- denoising ----------------
+
+    def network_fn(self, params: Params, num_frames: int):
+        """The OpenAIWrapper counterpart: channel-concat the ``concat`` cond
+        (broadcast per-frame) and map the cond dict to UNet inputs
+        (vwm/modules/diffusionmodules/wrappers.py:24-40)."""
+
+        def fn(x: Array, c_noise: Array, cond: Dict[str, Array], cond_mask: Optional[Array]):
+            concat = cond.get("concat")
+            if concat is not None:
+                if concat.shape[0] != x.shape[0]:
+                    concat = repeat_as_img_seq(concat, num_frames)
+                x = jnp.concatenate([x, concat.astype(x.dtype)], axis=-1)
+            return self.unet.apply(
+                {"params": params["unet"]}, x, c_noise,
+                cond.get("crossattn"), cond.get("vector"), cond_mask, num_frames,
+            )
+
+        return fn
+
+    def denoise_fn(self, params: Params, num_frames: Optional[int] = None):
+        """Preconditioned denoiser: ``(x, sigma, cond, cond_mask) -> denoised``."""
+        nf = num_frames or self.cfg.num_frames
+        net = self.network_fn(params, nf)
+
+        def fn(x, sigma, cond, cond_mask):
+            return precondition_denoise(net, x, sigma, cond, cond_mask, self.scaling)
+
+        return fn
+
+    # ---------------- conditioning ----------------
+
+    def condition_pair(
+        self,
+        params: Params,
+        batch: Dict[str, Array],
+        force_uc_zero: FrozenSet[str] = frozenset({"cond_frames", "cond_frames_without_noise"}),
+        skip_encode: bool = False,
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        return self.conditioner.apply(
+            {"params": params["conditioner"]}, batch, force_uc_zero, skip_encode,
+            method=GeneralConditioner.conditional_pair,
+        )
+
+    def conditions(
+        self,
+        params: Params,
+        batch: Dict[str, Array],
+        force_zero: FrozenSet[str] = frozenset(),
+        skip_encode: bool = False,
+        ucg_key: Optional[jax.Array] = None,
+    ) -> Dict[str, Array]:
+        return self.conditioner.apply(
+            {"params": params["conditioner"]}, batch, force_zero, skip_encode, ucg_key,
+        )
+
+    # ---------------- sampling ----------------
+
+    def sample(
+        self,
+        params: Params,
+        noise: Array,
+        cond: Dict[str, Array],
+        uc: Optional[Dict[str, Array]] = None,
+        cond_frame: Optional[Array] = None,
+        cond_mask: Optional[Array] = None,
+        sampler: SamplerConfig = SamplerConfig(),
+        key: Optional[jax.Array] = None,
+    ) -> Array:
+        """One sampling pass over ``num_frames`` latents."""
+        return sample_euler_edm(
+            self.denoise_fn(params), noise, cond, uc,
+            cond_frame=cond_frame, cond_mask=cond_mask,
+            config=sampler, num_frames=self.cfg.num_frames, key=key,
+        )

@@ -1,0 +1,112 @@
+"""Long-horizon autoregressive rollout.
+
+Behavioral counterpart of ``sample_utils.py:286-375`` (do_sample): round 1
+predicts ``T`` frames from pinned context frames; every further round
+re-conditions on the last 3 generated latents (moved to slots 0..2, mask
+``[1,1,1,0,...]``) and appends ``T-3`` new frames, extending the horizon by
+~2.3 s per round at 10 fps. The CLIP image conditioning for round ``n+1``
+comes from decoding the tail of round ``n`` and taking frame ``-3``
+(sample_utils.py:338-351); the VAE ``concat`` conditioning reuses the raw
+latents (``skip_encode`` — no pixel round trip).
+
+TPU-first: every round has identical shapes, so the per-round sampling
+program compiles once and is re-invoked; only the tail decode for CLIP
+leaves latent space. All state stays on device across rounds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, FrozenSet, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vista_tpu.diffusion.sampler import SamplerConfig
+from vista_tpu.engine.engine import VistaEngine
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class RolloutConfig:
+    num_rounds: int = 1
+    n_context_frames: int = 3  # frames re-pinned between rounds
+    initial_cond_indices: Tuple[int, ...] = (0,)
+    force_uc_zero: FrozenSet[str] = frozenset({"cond_frames", "cond_frames_without_noise"})
+
+
+def _frame_mask(indices, num_frames: int) -> jnp.ndarray:
+    m = jnp.zeros((num_frames,), dtype=jnp.float32)
+    return m.at[jnp.asarray(indices, dtype=jnp.int32)].set(1.0)
+
+
+def autoregressive_rollout(
+    engine: VistaEngine,
+    params: Dict,
+    images: Array,
+    batch: Dict[str, Array],
+    sampler: SamplerConfig,
+    rollout: RolloutConfig = RolloutConfig(),
+    key: Optional[jax.Array] = None,
+    decode_output: bool = True,
+) -> Tuple[Optional[Array], Array]:
+    """Run ``num_rounds`` of prediction.
+
+    images: ``(T, h, w, 3)`` context pixels in [-1, 1] (first frame(s) condition).
+    batch: conditioning scalars/actions; ``cond_frames_without_noise`` /
+      ``cond_frames`` are overwritten per round.
+    Returns ``(pixels or None, latents)`` with
+    ``latents.shape[0] == num_rounds*(T-3)+3``.
+    """
+    cfg = engine.cfg
+    t = cfg.num_frames
+    nc = rollout.n_context_frames
+    key = key if key is not None else jax.random.key(0)
+    k_enc, key = jax.random.split(key)
+
+    z = engine.encode_first_stage(params, images, key=k_enc)
+
+    @jax.jit
+    def run_round(params, noise, cond, uc, cond_frame, cond_mask):
+        return engine.sample(params, noise, cond, uc, cond_frame, cond_mask, sampler)
+
+    # ---- round 1: condition on the provided context frames ----
+    batch0 = dict(batch)
+    batch0["cond_frames_without_noise"] = images[:1]
+    cond_aug = batch.get("cond_aug", jnp.zeros((1,)))
+    k_aug, key = jax.random.split(key)
+    batch0["cond_frames"] = images[:1] + cond_aug[0] * jax.random.normal(
+        k_aug, images[:1].shape, dtype=images.dtype)
+    c, uc = engine.condition_pair(params, batch0, rollout.force_uc_zero)
+
+    mask0 = _frame_mask(rollout.initial_cond_indices, t)
+    k_noise, key = jax.random.split(key)
+    noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
+    sample = run_round(params, noise, c, uc, z, mask0)
+    sample = sample.at[0].set(z[0])
+
+    all_latents = [sample]
+
+    pred_mask = _frame_mask(list(range(nc)), t)
+    for n in range(rollout.num_rounds - 1):
+        # CLIP conditioning image: decode the tail, take frame -nc
+        tail = engine.decode_first_stage(params, sample[-cfg.decode_chunk:])
+        batch_n = dict(batch)
+        batch_n["cond_frames_without_noise"] = tail[-nc][None]
+        # latent reuse: conditioner skips encoding and re-applies scale_factor
+        batch_n["cond_frames"] = sample[-nc][None] / cfg.vae.scale_factor
+        c, uc = engine.condition_pair(params, batch_n, rollout.force_uc_zero, skip_encode=True)
+
+        filled = jnp.zeros_like(sample).at[:nc].set(sample[-nc:])
+        k_noise, key = jax.random.split(key)
+        noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
+        sample = run_round(params, noise, c, uc, filled, pred_mask)
+        all_latents.append(sample[nc:])
+
+    latents = jnp.concatenate(all_latents, axis=0)
+    if not decode_output:
+        return None, latents
+    pixels = engine.decode_first_stage(params, latents)
+    pixels = jnp.clip((pixels + 1.0) / 2.0, 0.0, 1.0)
+    return pixels, latents

@@ -133,7 +133,7 @@ class GEGLUFeedForward(nn.Module):
         inner = int(x.shape[-1] * self.mult)
         proj = dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         h, gate = jnp.split(proj, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        h = h * nn.gelu(gate, approximate=False)
         return dense(self.dim_out, dtype=self.dtype, name="proj_out")(h)
 
 

@@ -120,11 +120,12 @@ class Upsample(nn.Module):
 
 
 class Downsample(nn.Module):
-    """3x3 stride-2 conv downsample."""
+    """3x3 stride-2 conv downsample (explicit (1,1) padding, torch-parity)."""
 
     out_channels: int
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return conv(self.out_channels, 3, stride=2, dtype=self.dtype, name="conv")(x)
+        return conv(self.out_channels, 3, stride=2, dtype=self.dtype,
+                    padding=((1, 1), (1, 1)), name="conv")(x)

@@ -49,6 +49,13 @@ ACTION_SPECS: Tuple[Tuple[str, int], ...] = (
 ACTION_EMB_DIM = 128
 
 
+def _identity_conv_init(key, shape, dtype=jnp.float32):
+    """1x1 conv kernel initialized to the identity channel map."""
+    kh, kw, cin, cout = shape
+    assert kh == kw == 1 and cin == cout
+    return jnp.eye(cin, dtype=dtype).reshape(1, 1, cin, cout)
+
+
 @dataclasses.dataclass(frozen=True)
 class ConditionerConfig:
     clip: CLIPVisionConfig = dataclasses.field(default_factory=CLIPVisionConfig)
@@ -93,6 +100,9 @@ class GeneralConditioner(nn.Module):
     def setup(self):
         self.clip_tower = CLIPVisionTower(self.cfg.clip)
         self.cond_frames_encoder = VAEEncoder(self.cfg.vae)
+        zc = 2 * self.cfg.vae.z_channels if self.cfg.vae.double_z else self.cfg.vae.z_channels
+        self.quant_conv = nn.Conv(zc, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32,
+                                  kernel_init=_identity_conv_init)
 
     def __call__(
         self,
@@ -151,6 +161,12 @@ class GeneralConditioner(nn.Module):
             latent = cf
         else:
             moments = self.cond_frames_encoder(cf)
+            # The reference's cond-frame encoder is an AutoencoderKLModeOnly
+            # (a *Legacy* engine) which applies a learned 1x1 quant_conv to the
+            # moments (vwm/models/autoencoder.py:432-504) — the first-stage
+            # engine does not. The encoder trunk is shared; this 1x1 conv is
+            # the only extra parameter (identity at init).
+            moments = self.quant_conv(moments)
             latent = gaussian_mode(moments) * cfg.vae.scale_factor
         out["concat"] = maybe_drop(latent, "cond_frames", 4)
         return out

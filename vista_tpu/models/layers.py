@@ -45,8 +45,11 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         orig_dtype = x.dtype
+        groups = self.num_groups
+        if x.shape[-1] % groups != 0:  # tiny test configs with < 32 channels
+            groups = math.gcd(x.shape[-1], groups)
         out = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.eps, dtype=jnp.float32,
+            num_groups=groups, epsilon=self.eps, dtype=jnp.float32,
             param_dtype=jnp.float32, name="norm",
         )(x.astype(jnp.float32))
         return out.astype(orig_dtype)

@@ -125,10 +125,19 @@ class VideoUNet(nn.Module):
         if context is not None:
             context = context.astype(dtype)
 
+        # activation checkpointing (reference use_checkpoint on ResBlocks and
+        # transformer blocks, openaimodel.py:253-256 / attention.py:507-510):
+        # remat each top-level block so backward recomputes instead of storing
+        res_cls = VideoResBlock
+        attn_cls = SpatialVideoTransformer
+        if cfg.remat:
+            res_cls = nn.remat(VideoResBlock, static_argnums=(3,))
+            attn_cls = nn.remat(SpatialVideoTransformer, static_argnums=(3,))
+
         def attn(ch, name):
             heads = ch // cfg.num_head_channels
             ctx_dim = cfg.context_dim
-            return SpatialVideoTransformer(
+            return attn_cls(
                 channels=ch, heads=heads, dim_head=cfg.num_head_channels,
                 depth=cfg.transformer_depth, context_dim=ctx_dim,
                 merge_factor=cfg.merge_factor, merge_strategy=cfg.merge_strategy,
@@ -145,7 +154,7 @@ class VideoUNet(nn.Module):
         for level, mult in enumerate(cfg.channel_mult):
             for i in range(cfg.num_res_blocks):
                 ch = mult * ch0
-                h = VideoResBlock(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
+                h = res_cls(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
                                   cfg.merge_strategy, dtype=dtype,
                                   name=f"down_{level}_{i}_res")(h, emb, nf)
                 if ds in cfg.attention_resolutions:
@@ -159,10 +168,10 @@ class VideoUNet(nn.Module):
                 skip_chs.append(ch)
 
         # --- middle ---
-        h = VideoResBlock(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
+        h = res_cls(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
                           cfg.merge_strategy, dtype=dtype, name="mid_res1")(h, emb, nf)
         h = attn(ch, "mid_attn")(h, context, nf)
-        h = VideoResBlock(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
+        h = res_cls(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
                           cfg.merge_strategy, dtype=dtype, name="mid_res2")(h, emb, nf)
 
         # --- decoder ---
@@ -172,7 +181,7 @@ class VideoUNet(nn.Module):
                 skip_chs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = mult * ch0
-                h = VideoResBlock(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
+                h = res_cls(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
                                   cfg.merge_strategy, dtype=dtype,
                                   name=f"up_{level}_{i}_res")(h, emb, nf)
                 if ds in cfg.attention_resolutions:

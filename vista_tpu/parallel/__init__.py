@@ -1,0 +1,7 @@
+from vista_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    fsdp_param_specs,
+    make_mesh,
+    replicated,
+    shard_pytree,
+)

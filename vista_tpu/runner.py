@@ -1,0 +1,200 @@
+"""Training runtime: setup, loop, logging, checkpointing, resume, signals.
+
+The Lightning-replacement layer (SURVEY.md §2.1-2.2): everything
+``train.py`` + Trainer + callbacks did, as explicit code:
+
+- run-directory setup and config archival (SetupCallback counterpart);
+- CSV metrics logging (CSVLogger + LearningRateMonitor counterpart);
+- periodic visual logging: sample a short rollout and write PNG/mp4
+  (ImageLogger counterpart, incl. the power-of-2 early-step schedule);
+- periodic + final Orbax checkpoints with ``--resume`` (ModelCheckpoint /
+  resume counterpart — no DeepSpeed partition merging needed);
+- SIGUSR1 -> checkpoint-and-continue, SIGTERM/SIGINT -> checkpoint-and-exit
+  (the reference's gutted "melk" handlers, train.py:871-892, made real);
+- LR scaling rule ``lr = accum x n_data x batch x base_lr`` opt-in
+  (train.py:856-867).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import signal
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vista_tpu.config import save_config
+from vista_tpu.diffusion import GuiderConfig, SamplerConfig
+from vista_tpu.engine import EngineConfig, VistaEngine
+from vista_tpu.engine.training import TrainConfig, TrainState, create_train_state, make_train_step
+from vista_tpu.utils import checkpoint as ckpt_io
+from vista_tpu.utils.video import save_grid_png, save_video_mp4
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    logdir: str = "logs/run"
+    max_steps: int = 1000
+    log_every: int = 50
+    image_log_every: int = 1000
+    ckpt_every: int = 1000
+    image_log_steps: int = 15        # train-time sampling steps (reference: 15)
+    image_log_cfg_max: float = 3.0   # linear guider 1.5 -> 3.0
+    image_log_cfg_min: float = 1.5
+    scale_lr: bool = False
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    run: RunConfig = dataclasses.field(default_factory=RunConfig)
+    height: int = 320
+    width: int = 576
+
+
+def _is_log_step(step: int, every: int) -> bool:
+    """Reference ImageLogger frequency: every N steps plus early powers of 2."""
+    if step % every == 0:
+        return True
+    return step < every and (step & (step - 1)) == 0 and step > 0
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, pipeline=None,
+                 init_params: Optional[Dict] = None):
+        self.cfg = cfg
+        self.engine = VistaEngine(cfg.engine)
+        self.pipeline = pipeline
+        self._stop = False
+        self._ckpt_requested = False
+
+        run = cfg.run
+        os.makedirs(run.logdir, exist_ok=True)
+        os.makedirs(os.path.join(run.logdir, "checkpoints"), exist_ok=True)
+        os.makedirs(os.path.join(run.logdir, "images"), exist_ok=True)
+        if jax.process_index() == 0:
+            save_config(cfg, os.path.join(run.logdir, "config.yaml"))
+
+        params = init_params if init_params is not None else self.engine.init_params(
+            jax.random.key(run.seed), cfg.height, cfg.width)
+        tcfg = cfg.train
+        if run.scale_lr:
+            bs = pipeline.cfg.batch_size if pipeline is not None else 1
+            n_data = jax.device_count()
+            tcfg = dataclasses.replace(
+                tcfg, learning_rate=tcfg.accum_steps * n_data * bs * tcfg.learning_rate)
+        self.tcfg = tcfg
+        self.state, self.tx = create_train_state(tcfg, params)
+        self.frozen = {k: v for k, v in params.items() if k != "unet"}
+        self.step_fn = jax.jit(make_train_step(self.engine, tcfg, self.tx))
+
+        self._metrics_path = os.path.join(run.logdir, "metrics.csv")
+        self._csv_initialized = os.path.exists(self._metrics_path)
+
+    # ---- signals: SIGUSR1 checkpoints and continues; SIGTERM checkpoints & stops
+    def install_signal_handlers(self):
+        def on_usr1(signum, frame):
+            self._ckpt_requested = True
+
+        def on_term(signum, frame):
+            self._ckpt_requested = True
+            self._stop = True
+
+        signal.signal(signal.SIGUSR1, on_usr1)
+        signal.signal(signal.SIGTERM, on_term)
+
+    def _log_metrics(self, step: int, metrics: Dict):
+        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        write_header = not self._csv_initialized
+        with open(self._metrics_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if write_header:
+                w.writeheader()
+                self._csv_initialized = True
+            w.writerow(row)
+
+    def save_checkpoint(self, tag: Optional[str] = None):
+        step = int(self.state.step)
+        name = tag or f"step_{step:08d}"
+        path = os.path.join(self.cfg.run.logdir, "checkpoints", name)
+        ckpt_io.save_checkpoint(path, {"state": jax.device_get(self.state),
+                                       "frozen": jax.device_get(self.frozen)})
+        return path
+
+    def resume(self, path: str):
+        restored = ckpt_io.load_checkpoint(
+            path, {"state": jax.device_get(self.state), "frozen": jax.device_get(self.frozen)})
+        self.state = restored["state"]
+        self.frozen = restored["frozen"]
+
+    def log_images(self, batch: Dict):
+        """Sample a short prediction from the current EMA params and save it."""
+        cfg = self.cfg
+        run = cfg.run
+        t = cfg.engine.num_frames
+        params = {**self.frozen, "unet": self.state.ema_params}
+        frames = jnp.asarray(batch["frames"][0])  # (t, h, w, 3)
+        cond_batch = {
+            "fps_id": jnp.asarray(batch["fps_id"][:1]),
+            "motion_bucket_id": jnp.asarray(batch["motion_bucket_id"][:1]),
+            "cond_aug": jnp.asarray(batch["cond_aug"][:1]),
+            "cond_frames_without_noise": frames[:1],
+            "cond_frames": frames[:1],
+        }
+        c, uc = self.engine.condition_pair(params, cond_batch)
+        z = self.engine.encode_first_stage(params, frames)
+        sampler = SamplerConfig(
+            num_steps=run.image_log_steps,
+            guider=GuiderConfig(kind="linear", scale=run.image_log_cfg_max,
+                                min_scale=run.image_log_cfg_min, num_frames=t))
+        mask = jnp.zeros((t,)).at[0].set(1.0)
+        noise = jax.random.normal(jax.random.key(int(self.state.step)), z.shape)
+        sample = self.engine.sample(params, noise, c, uc, cond_frame=z, cond_mask=mask,
+                                    sampler=sampler)
+        pixels = self.engine.decode_first_stage(params, sample)
+        pixels = np.asarray(jnp.clip((pixels + 1.0) / 2.0, 0.0, 1.0))
+        step = int(self.state.step)
+        img_dir = os.path.join(run.logdir, "images")
+        save_video_mp4(os.path.join(img_dir, f"sample_{step:08d}.mp4"), pixels)
+        save_grid_png(os.path.join(img_dir, f"sample_{step:08d}.png"), pixels)
+        save_grid_png(os.path.join(img_dir, f"input_{step:08d}.png"),
+                      np.asarray(frames), real=True)
+
+    def fit(self):
+        run = self.cfg.run
+        assert self.pipeline is not None, "fit() needs a data pipeline"
+        self.install_signal_handlers()
+        it = iter(self.pipeline)
+        t_last = time.perf_counter()
+        while int(self.state.step) < run.max_steps and not self._stop:
+            batch = next(it)
+            device_batch = jax.tree.map(jnp.asarray, batch)
+            key = jax.random.fold_in(jax.random.key(run.seed), int(self.state.step))
+            self.state, metrics = self.step_fn(self.state, self.frozen, device_batch, key)
+            step = int(self.state.step)
+            if step % run.log_every == 0 or step == 1:
+                now = time.perf_counter()
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["steps_per_sec"] = run.log_every / max(now - t_last, 1e-9)
+                t_last = now
+                if jax.process_index() == 0:
+                    self._log_metrics(step, metrics)
+                    print(f"step {step}: loss={metrics['loss']:.4f} "
+                          f"({metrics['steps_per_sec']:.2f} it/s)", flush=True)
+            if jax.process_index() == 0 and _is_log_step(step, run.image_log_every):
+                try:
+                    self.log_images(batch)
+                except Exception as e:  # visual logging must never kill training
+                    print(f"image logging failed at step {step}: {e}", flush=True)
+            if step % run.ckpt_every == 0 or self._ckpt_requested:
+                self.save_checkpoint()
+                self._ckpt_requested = False
+        self.save_checkpoint("last")
+        return self.state
