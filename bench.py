@@ -63,6 +63,11 @@ def main():
     print("initializing UNet params...", flush=True)
     unet_params = unet.init(key, x, sigma, context, y, mask, t)
     dec_params = decoder.init(key, jnp.zeros((1, hl, wl, vcfg.z_channels)), 1)
+    # inference: bf16 weights halve HBM and double effective bandwidth
+    cast = lambda p: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p)
+    unet_params = cast(unet_params)
+    dec_params = cast(dec_params)
 
     def network_fn(xin, c_noise, cond, cond_mask):
         xcat = jnp.concatenate([xin, cond["concat"].astype(xin.dtype)], axis=-1)
