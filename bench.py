@@ -61,8 +61,11 @@ def main():
     mask = jnp.zeros((t,)).at[0].set(1.0)
 
     print("initializing UNet params...", flush=True)
-    unet_params = unet.init(key, x, sigma, context, y, mask, t)
-    dec_params = decoder.init(key, jnp.zeros((1, hl, wl, vcfg.z_channels)), 1)
+    # jit the init: eager init dispatches thousands of tiny ops (very slow
+    # over a remote-device tunnel); compiled it is one program
+    unet_params = jax.jit(unet.init, static_argnums=(6,))(key, x, sigma, context, y, mask, t)
+    dec_params = jax.jit(decoder.init, static_argnums=(2,))(
+        key, jnp.zeros((1, hl, wl, vcfg.z_channels)), 1)
     # inference: bf16 weights halve HBM and double effective bandwidth
     cast = lambda p: jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p)
@@ -90,8 +93,16 @@ def main():
     cond_frame = jnp.zeros((t, hl, wl, 4))
 
     @jax.jit
-    def sample(noise):
-        lat = sample_euler_edm(denoise_fn, noise, cond, uc, cond_frame=cond_frame,
+    def sample(unet_params, dec_params, noise):
+        def network_fn_p(xin, c_noise, cond, cond_mask):
+            xcat = jnp.concatenate([xin, cond["concat"].astype(xin.dtype)], axis=-1)
+            return unet.apply(unet_params, xcat, c_noise, cond["crossattn"],
+                              cond["vector"], cond_mask, t)
+
+        def denoise_fn_p(xx, s, cond, cond_mask):
+            return precondition_denoise(network_fn_p, xx, s, cond, cond_mask)
+
+        lat = sample_euler_edm(denoise_fn_p, noise, cond, uc, cond_frame=cond_frame,
                                cond_mask=mask, config=scfg, num_frames=t)
         if args.no_decode:
             return lat
@@ -100,14 +111,14 @@ def main():
     noise = jax.random.normal(jax.random.key(1), (t, hl, wl, 4))
     print("compiling sampling program...", flush=True)
     t0 = time.perf_counter()
-    out = jax.block_until_ready(sample(noise))
+    out = jax.block_until_ready(sample(unet_params, dec_params, noise))
     compile_time = time.perf_counter() - t0
     print(f"compile+first-run: {compile_time:.1f}s", flush=True)
 
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(sample(noise))
+        jax.block_until_ready(sample(unet_params, dec_params, noise))
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]

@@ -12,9 +12,7 @@ dotlist overrides. Multi-host: run one process per host; the script calls
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
-import sys
 
 
 def main(argv=None):

@@ -6,7 +6,6 @@ exist for reuse and for the auxiliary samplers (ancestral, linear-multistep).
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax.numpy as jnp

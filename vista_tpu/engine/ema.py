@@ -8,7 +8,6 @@ and ``bin_to_st.py`` swap disappear; the checkpoint simply holds two pytrees).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -104,11 +104,15 @@ class VistaEngine:
         ctx_dim = cfg.unet.context_dim + (128 * 19 if cfg.unet.action_control else 0)
         context = jnp.zeros((1, 1, ctx_dim))
         y = jnp.zeros((1, cfg.unet.adm_in_channels))
-        unet_params = self.unet.init(k1, x_unet, jnp.zeros((t,)), context, y, jnp.zeros((t,)), t)
+        # jit the inits: eager init dispatches thousands of tiny ops (slow,
+        # especially over a remote-device tunnel); compiled it is one program
+        unet_params = jax.jit(self.unet.init, static_argnums=(6,))(
+            k1, x_unet, jnp.zeros((t,)), context, y, jnp.zeros((t,)), t)
 
         pixels = jnp.zeros((1, height, width, cfg.vae.in_channels))
-        enc_params = self.encoder.init(k2, pixels)
-        dec_params = self.decoder.init(k3, jnp.zeros((t, hl, wl, zc)), t)
+        enc_params = jax.jit(self.encoder.init)(k2, pixels)
+        dec_params = jax.jit(self.decoder.init, static_argnums=(2,))(
+            k3, jnp.zeros((t, hl, wl, zc)), t)
 
         batch = {
             "cond_frames_without_noise": jnp.zeros((1, height, width, 3)),
@@ -117,7 +121,7 @@ class VistaEngine:
             "motion_bucket_id": jnp.zeros((1,)),
             "cond_aug": jnp.zeros((1,)),
         }
-        cond_params = self.conditioner.init(k4, batch)
+        cond_params = jax.jit(self.conditioner.init)(k4, batch)
         # share the first-stage encoder with the conditioner's cond-frame encoder
         cond_params = self._tie_encoder(cond_params, enc_params)
         return {
@@ -233,7 +237,9 @@ class VistaEngine:
         self,
         params: Params,
         batch: Dict[str, Array],
-        force_uc_zero: FrozenSet[str] = frozenset({"cond_frames", "cond_frames_without_noise"}),
+        force_uc_zero: FrozenSet[str] = frozenset(
+        {"cond_frames", "cond_frames_without_noise",
+         "command", "trajectory", "speed", "angle", "goal"}),
         skip_encode: bool = False,
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
         return self.conditioner.apply(

@@ -33,7 +33,9 @@ def estimate_reward(
     sampler: SamplerConfig,
     ensemble_size: int = 5,
     initial_cond_indices: Tuple[int, ...] = (0,),
-    force_uc_zero: FrozenSet[str] = frozenset({"cond_frames", "cond_frames_without_noise"}),
+    force_uc_zero: FrozenSet[str] = frozenset(
+        {"cond_frames", "cond_frames_without_noise",
+         "command", "trajectory", "speed", "angle", "goal"}),
     key: Optional[jax.Array] = None,
 ) -> Array:
     """Scalar confidence reward for the given context + action conditioning."""

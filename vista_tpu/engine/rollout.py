@@ -33,7 +33,9 @@ class RolloutConfig:
     num_rounds: int = 1
     n_context_frames: int = 3  # frames re-pinned between rounds
     initial_cond_indices: Tuple[int, ...] = (0,)
-    force_uc_zero: FrozenSet[str] = frozenset({"cond_frames", "cond_frames_without_noise"})
+    force_uc_zero: FrozenSet[str] = frozenset(
+        {"cond_frames", "cond_frames_without_noise",
+         "command", "trajectory", "speed", "angle", "goal"})
 
 
 def _frame_mask(indices, num_frames: int) -> jnp.ndarray:

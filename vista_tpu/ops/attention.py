@@ -18,7 +18,6 @@ back to XLA when the shape doesn't profit from it.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -20,7 +20,6 @@ planned optimization; training shapes at 320x576 fit XLA attention w/ remat).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax

@@ -21,7 +21,6 @@ import os
 from typing import Dict, Optional
 
 import numpy as np
-import jax
 
 from vista_tpu.engine.engine import EngineConfig
 from vista_tpu.utils import torch_import as ti
