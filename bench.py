@@ -32,19 +32,29 @@ def main():
     p.add_argument("--frames", type=int, default=25)
     p.add_argument("--cfg-scale", type=float, default=2.5)
     p.add_argument("--no-decode", action="store_true")
+    p.add_argument("--decode-chunk", type=int, default=14)
+    p.add_argument("--decode-overlap", type=int, default=3)
+    p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args()
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
 
     from vista_tpu.diffusion import GuiderConfig, SamplerConfig, precondition_denoise, sample_euler_edm
+    from vista_tpu.engine.engine import EngineConfig, VistaEngine
     from vista_tpu.models.unet import VideoUNet, VideoUNetConfig
     from vista_tpu.models.vae import VAEConfig, VideoVAEDecoder
 
     on_tpu = jax.default_backend() == "tpu"
-    ucfg = VideoUNetConfig(attn_backend="pallas" if on_tpu else "xla")
+    backend = args.attn if args.attn != "auto" else ("pallas" if on_tpu else "xla")
+    ucfg = VideoUNetConfig(attn_backend=backend)
     vcfg = VAEConfig()
+    engine = VistaEngine(dataclasses.replace(
+        EngineConfig(), unet=ucfg, vae=vcfg, num_frames=args.frames,
+        decode_chunk=args.decode_chunk, decode_overlap=args.decode_overlap))
     t = args.frames
     f = vcfg.downsample_factor
     hl, wl = args.height // f, args.width // f
@@ -106,7 +116,9 @@ def main():
                                cond_mask=mask, config=scfg, num_frames=t)
         if args.no_decode:
             return lat
-        return decoder.apply(dec_params, lat.astype(jnp.bfloat16), t)
+        # product decode path: overlap-blended chunked temporal decode
+        return engine.decode_first_stage({"decoder": dec_params["params"]},
+                                         lat.astype(jnp.bfloat16))
 
     noise = jax.random.normal(jax.random.key(1), (t, hl, wl, 4))
     print("compiling sampling program...", flush=True)

@@ -22,6 +22,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="vista_tpu sampler")
     p.add_argument("--ckpt", default=None, help="vista.safetensors weights")
     p.add_argument("--anno", default=None, help="annotation JSON (nuScenes-style)")
+    p.add_argument("--image", default=None,
+                   help="single conditioning image (the reference's IMG mode)")
     p.add_argument("--data-root", default="", help="frame root dir")
     p.add_argument("--save", default="outputs", help="output dir")
     p.add_argument("--action", default="free",
@@ -84,7 +86,15 @@ def main(argv=None):
         "motion_bucket_id": jnp.array([127.0]),
         "cond_aug": jnp.array([args.cond_aug]),
     }
-    if args.anno:
+    if args.image:
+        # IMG mode: one image conditions the whole clip (sample.py IMG dataset)
+        from vista_tpu.data.datasets import center_crop_resize
+        from PIL import Image
+
+        with Image.open(args.image) as img:
+            frame = center_crop_resize(img.convert("RGB"), args.height, args.width)
+        images = jnp.asarray(np.repeat(frame[None], args.n_frames, axis=0))
+    elif args.anno:
         from vista_tpu.data.datasets import center_crop_resize
         from PIL import Image
 
