@@ -35,6 +35,7 @@ def main():
     p.add_argument("--decode-chunk", type=int, default=14)
     p.add_argument("--decode-overlap", type=int, default=3)
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--cfg-mode", default="batched", choices=["batched", "sequential"])
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args()
 
@@ -98,7 +99,7 @@ def main():
     uc = {k: jnp.zeros_like(v) for k, v in cond.items()}
     uc["vector"] = cond["vector"]
 
-    scfg = SamplerConfig(num_steps=args.steps,
+    scfg = SamplerConfig(num_steps=args.steps, cfg_mode=args.cfg_mode,
                          guider=GuiderConfig(kind="vanilla", scale=args.cfg_scale, num_frames=t))
     cond_frame = jnp.zeros((t, hl, wl, 4))
 

@@ -218,6 +218,27 @@ class TestSampler:
         # CFG target = 0 + 2*(1 - 0) = 2
         np.testing.assert_allclose(np.asarray(out), 2.0, atol=5e-3)
 
+    def test_sequential_cfg_matches_batched(self):
+        """cfg_mode='sequential' must be numerically identical to 'batched'."""
+        t = 4
+
+        def denoise_fn(x, sigma, cond, cond_mask):
+            # respond to the conditioning value so the halves differ
+            return cond["v"][:, None, None, None] * jnp.ones_like(x)
+
+        cond = {"v": jnp.full((t,), 1.0)}
+        uc = {"v": jnp.zeros((t,))}
+        noise = jnp.asarray(np.random.RandomState(7).randn(t, 4, 4, 2), jnp.float32)
+        base = dict(num_steps=8, guider=GuiderConfig(kind="linear", scale=3.0,
+                                                     min_scale=1.0, num_frames=t))
+        out_b = sample_euler_edm(denoise_fn, noise, cond, uc,
+                                 config=SamplerConfig(**base, cfg_mode="batched"),
+                                 num_frames=t)
+        out_s = sample_euler_edm(denoise_fn, noise, cond, uc,
+                                 config=SamplerConfig(**base, cfg_mode="sequential"),
+                                 num_frames=t)
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_s), atol=1e-5)
+
     def test_init_noise_rescale(self):
         """x0 is noise * sqrt(1 + sigma_0^2); a fixed-point denoiser preserves it."""
 

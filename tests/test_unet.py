@@ -48,6 +48,23 @@ class TestVideoUNet:
         # the overall tensors differ
         assert not np.allclose(np.asarray(out_masked), np.asarray(out_unmasked))
 
+    def test_temporal_chunking_exact(self):
+        """Row-chunked temporal block (nn.scan) must equal the direct path."""
+        from vista_tpu.models.attention import TemporalTransformerBlock
+
+        t, s, c = 4, 16, 32
+        b = 2
+        x = jnp.asarray(np.random.RandomState(0).randn(b * t, s, c), jnp.float32)
+        tc = jnp.asarray(np.random.RandomState(1).randn(b * s, 1, c), jnp.float32)
+        blk_direct = TemporalTransformerBlock(c, 2, 16, context_dim=c, dtype=jnp.float32,
+                                              max_rows=10**9)
+        blk_chunked = TemporalTransformerBlock(c, 2, 16, context_dim=c, dtype=jnp.float32,
+                                               max_rows=8)
+        params = blk_direct.init(jax.random.key(0), x, t, tc)
+        out_d = blk_direct.apply(params, x, t, tc)
+        out_c = blk_chunked.apply(params, x, t, tc)
+        np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_c), atol=1e-5)
+
     def test_remat_matches_plain(self, tiny_setup):
         """remat=True must be numerically identical (just recompute on bwd)."""
         import dataclasses

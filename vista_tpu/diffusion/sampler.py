@@ -50,6 +50,10 @@ class SamplerConfig:
     s_tmax: float = 999.0
     s_noise: float = 1.0
     guider: GuiderConfig = dataclasses.field(default_factory=GuiderConfig)
+    # "batched" doubles the batch for the CFG pair (fastest when memory
+    # allows); "sequential" runs uncond/cond as two calls — same FLOPs,
+    # half the activation memory (needed at 576x1024 on 16 GB chips).
+    cfg_mode: str = "batched"
 
 
 def _double_cond(cond: dict, uc: dict) -> dict:
@@ -79,7 +83,8 @@ def sample_euler_edm(
     num_sigmas = int(sigmas.shape[0])
 
     frame_scales = guider_frame_scales(config.guider)
-    doubled = frame_scales is not None and uc is not None
+    guided = frame_scales is not None and uc is not None
+    doubled = guided and config.cfg_mode == "batched"
     cond_all = _double_cond(cond, uc) if doubled else cond
 
     replace_cond_frames = cond_frame is not None and cond_mask is not None
@@ -99,13 +104,18 @@ def sample_euler_edm(
         return x
 
     def denoise(x, sigma_scalar):
+        s1 = jnp.full((x.shape[0],), sigma_scalar, dtype=jnp.float32)
         if doubled:
             x2 = jnp.concatenate([x, x], axis=0)
-            s2 = jnp.full((x2.shape[0],), sigma_scalar, dtype=jnp.float32)
+            s2 = jnp.concatenate([s1, s1], axis=0)
             m2 = jnp.concatenate([cond_mask, cond_mask], axis=0) if cond_mask is not None else None
             out = denoise_fn(x2, s2, cond_all, m2)
             return cfg_merge(out, frame_scales, num_frames)
-        s1 = jnp.full((x.shape[0],), sigma_scalar, dtype=jnp.float32)
+        if guided:  # sequential CFG: two calls, half the live activations
+            out_u = denoise_fn(x, s1, uc, cond_mask)
+            out_c = denoise_fn(x, s1, cond, cond_mask)
+            return cfg_merge(jnp.concatenate([out_u, out_c], axis=0),
+                             frame_scales, num_frames)
         return denoise_fn(x, s1, cond_all, cond_mask)
 
     def body(x, inputs):

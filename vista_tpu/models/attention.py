@@ -164,6 +164,46 @@ class TransformerBlock(nn.Module):
         return x
 
 
+class _TemporalCore(nn.Module):
+    """The temporal block body on ``(rows, t, c)``; scan-able over row chunks.
+
+    Takes/returns a dummy carry so it composes with ``nn.scan`` (params
+    broadcast across chunks — one set of weights, sequential application).
+    """
+
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    ff_in: bool = True
+    add_lora: bool = False
+    action_control: bool = False
+    backend: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, carry, inputs):
+        x, time_context = inputs
+        if self.ff_in:
+            x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff_in")(
+                LayerNorm(name="norm_in")(x))
+
+        x = x + CrossAttention(
+            self.heads, self.dim_head, self.dim, context_dim=None, add_lora=self.add_lora,
+            backend=self.backend, dtype=self.dtype, name="attn1",
+        )(LayerNorm(name="norm1")(x))
+
+        if time_context is not None or self.context_dim is not None:
+            x = x + CrossAttention(
+                self.heads, self.dim_head, self.dim, context_dim=self.context_dim,
+                add_lora=self.add_lora, action_control=self.action_control,
+                backend=self.backend, dtype=self.dtype, name="attn2",
+            )(LayerNorm(name="norm2")(x), context=time_context)
+
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        return carry, x
+
+
 class TemporalTransformerBlock(nn.Module):
     """Temporal block over the frame axis: tokens are the ``t`` frames.
 
@@ -182,6 +222,12 @@ class TemporalTransformerBlock(nn.Module):
     action_control: bool = False
     backend: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
+    # bound the live rows of the (b*h*w, t, c) workload: when b*s exceeds
+    # this, the block body runs as an nn.scan over row chunks with broadcast
+    # params (exact — every op is per-row). Bounds the multi-GB q/k/v/logit
+    # transients at 576x1024 (b*s = 230k rows) that the reference handled
+    # with xformers' 32768-row chunking (attention.py:384-399).
+    max_rows: int = 65536
 
     @nn.compact
     def __call__(self, x: Array, num_frames: int, time_context: Optional[Array] = None) -> Array:
@@ -190,23 +236,32 @@ class TemporalTransformerBlock(nn.Module):
         # (b t) s c -> (b s) t c
         x = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
 
-        if self.ff_in:
-            x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff_in")(
-                LayerNorm(name="norm_in")(x))
+        rows = b * s
+        n_chunks = 1
+        row_aligned_tc = time_context is not None and time_context.shape[0] == rows
+        if row_aligned_tc:
+            while rows // n_chunks > self.max_rows and rows % (n_chunks * 2) == 0:
+                n_chunks *= 2
 
-        x = x + CrossAttention(
-            self.heads, self.dim_head, self.dim, context_dim=None, add_lora=self.add_lora,
-            backend=self.backend, dtype=self.dtype, name="attn1",
-        )(LayerNorm(name="norm1")(x))
-
-        if time_context is not None or self.context_dim is not None:
-            x = x + CrossAttention(
-                self.heads, self.dim_head, self.dim, context_dim=self.context_dim,
-                add_lora=self.add_lora, action_control=self.action_control,
-                backend=self.backend, dtype=self.dtype, name="attn2",
-            )(LayerNorm(name="norm2")(x), context=time_context)
-
-        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        core_kwargs = dict(
+            dim=self.dim, heads=self.heads, dim_head=self.dim_head,
+            context_dim=self.context_dim, ff_in=self.ff_in, add_lora=self.add_lora,
+            action_control=self.action_control, backend=self.backend, dtype=self.dtype,
+        )
+        if n_chunks > 1:
+            chunk = rows // n_chunks
+            xs = x.reshape(n_chunks, chunk, num_frames, c)
+            tcs = time_context.reshape(n_chunks, chunk, *time_context.shape[1:])
+            ScanCore = nn.scan(
+                _TemporalCore,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0,
+            )
+            _, x = ScanCore(**core_kwargs, name="core")(0, (xs, tcs))
+            x = x.reshape(rows, num_frames, c)
+        else:
+            _, x = _TemporalCore(**core_kwargs, name="core")(0, (x, time_context))
 
         # (b s) t c -> (b t) s c
         x = x.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(bt, s, c)

@@ -127,7 +127,11 @@ def _spatial_block(t: str, f: str, lora: bool, action: bool) -> List[Entry]:
 
 
 def _temporal_block(t: str, f: str, lora: bool, action: bool) -> List[Entry]:
-    """VideoTransformerBlock (ff_in=True) -> TemporalTransformerBlock."""
+    """VideoTransformerBlock (ff_in=True) -> TemporalTransformerBlock.
+
+    The flax body lives under a ``core`` submodule (scan-able over row
+    chunks, models/attention.py _TemporalCore)."""
+    f = f"{f}/core"
     e: List[Entry] = []
     e += _norm(f"{t}.norm_in", f"{f}/norm_in/ln")
     e += _geglu_ff(f"{t}.ff_in", f"{f}/ff_in")
