@@ -21,7 +21,16 @@ import argparse
 import json
 import time
 
-BASELINE_FPS_ESTIMATE = 4.0  # A100 torch reference @320x576/10 steps (analytic)
+BASELINE_FPS_REF = 4.0        # A100 torch reference @320x576/10 steps (analytic)
+BASELINE_REF_PIXELS = 320 * 576
+BASELINE_REF_STEPS = 10
+
+
+def baseline_estimate(height: int, width: int, steps: int) -> float:
+    """Scale the analytic A100 estimate to the benchmarked config
+    (throughput ~ 1 / (pixels * steps))."""
+    return BASELINE_FPS_REF * (BASELINE_REF_PIXELS / (height * width)) * (
+        BASELINE_REF_STEPS / steps)
 
 
 def main():
@@ -142,7 +151,7 @@ def main():
                   f"{args.steps} EDM steps, CFG, {'latent-only' if args.no_decode else 'incl. decode'})",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS_ESTIMATE, 4),
+        "vs_baseline": round(fps / baseline_estimate(args.height, args.width, args.steps), 4),
     }))
 
 

@@ -132,6 +132,31 @@ class TestTrainStep:
                                 new_state.ema_params, state.unet_params)
         assert max(jax.tree.leaves(ema_diff)) > 0
 
+    def test_lora_only_updates_only_adapters(self):
+        engine = _tiny_engine(add_lora=True)
+        t = engine.cfg.num_frames
+        params = engine.init_params(jax.random.key(0), H, W)
+        # zero-init conv_out blocks all upstream grads at init: perturb the
+        # UNet so gradients reach the adapters
+        params = dict(params, unet=jax.tree.map(lambda p: p + 0.01, params["unet"]))
+        tcfg = TrainConfig(learning_rate=1e-3, policy="lora_only",
+                           loss=LossConfig(num_frames=t))
+        state, tx = create_train_state(tcfg, params)
+        step = jax.jit(make_train_step(engine, tcfg, tx))
+        frozen = {k: v for k, v in params.items() if k != "unet"}
+        new_state, metrics = step(state, frozen, _batch(t), jax.random.key(1))
+        changed_adapters = 0
+        old_leaves = jax.tree_util.tree_flatten_with_path(state.unet_params)[0]
+        new_leaves = jax.tree_util.tree_flatten_with_path(new_state.unet_params)[0]
+        for (k, vo), (_, vn) in zip(old_leaves, new_leaves):
+            ks = jax.tree_util.keystr(k)
+            same = bool(jnp.array_equal(vo, vn))
+            if "adapter" in ks:
+                changed_adapters += 0 if same else 1
+            else:
+                assert same, f"frozen param changed: {ks}"
+        assert changed_adapters > 0
+
     def test_grad_accum_defers_update(self):
         engine = _tiny_engine()
         t = engine.cfg.num_frames

@@ -111,10 +111,18 @@ def sample_euler_edm(
             m2 = jnp.concatenate([cond_mask, cond_mask], axis=0) if cond_mask is not None else None
             out = denoise_fn(x2, s2, cond_all, m2)
             return cfg_merge(out, frame_scales, num_frames)
-        if guided:  # sequential CFG: two calls, half the live activations
-            out_u = denoise_fn(x, s1, uc, cond_mask)
-            out_c = denoise_fn(x, s1, cond, cond_mask)
-            return cfg_merge(jnp.concatenate([out_u, out_c], axis=0),
+        if guided:
+            # sequential CFG: scan over the stacked (uncond, cond) pair —
+            # a scan (unlike two independent calls, which XLA schedules
+            # concurrently) guarantees serialized execution and buffer
+            # reuse, halving live activations
+            stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), uc, cond)
+
+            def one(_, c):
+                return None, denoise_fn(x, s1, c, cond_mask)
+
+            _, outs = jax.lax.scan(one, None, stacked)
+            return cfg_merge(jnp.concatenate([outs[0], outs[1]], axis=0),
                              frame_scales, num_frames)
         return denoise_fn(x, s1, cond_all, cond_mask)
 

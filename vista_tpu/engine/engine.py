@@ -191,6 +191,12 @@ class VistaEngine:
         while start < n:
             cur = z[start:start + step]
             window = jnp.concatenate([prev, cur], axis=0)
+            if outs:
+                # chain each window on the previous output: without this the
+                # windows are independent subgraphs and XLA overlaps their
+                # buffer lifetimes — n_windows x decoder peak memory (46 GB
+                # at 576x1024 instead of ~6 GB)
+                window, _ = jax.lax.optimization_barrier((window, outs[-1]))
             out = decode(window, window.shape[0])
             if not outs:
                 outs.append(out)

@@ -81,13 +81,21 @@ def lr_mult_tree(unet_params, policy: str, slow_factor: float = 0.1):
 
 
 def scale_updates_by_tree(mult_tree) -> optax.GradientTransformation:
-    """Multiply each update leaf by its (python float) multiplier."""
+    """Multiply each update leaf by its (python float) multiplier.
+
+    Tolerates ``optax.MaskedNode`` placeholders (present when running inside
+    ``multi_transform``/``masked`` partitions)."""
+
+    def _is_masked(x):
+        return type(x).__name__ == "MaskedNode"
 
     def init(params):
         return optax.EmptyState()
 
     def update(updates, state, params=None):
-        updates = jax.tree.map(lambda u, m: u * m, updates, mult_tree)
+        updates = jax.tree.map(
+            lambda u, m: u if _is_masked(u) else u * m,
+            updates, mult_tree, is_leaf=_is_masked)
         return updates, state
 
     return optax.GradientTransformation(init, update)
@@ -103,6 +111,12 @@ def make_optimizer(cfg: TrainConfig, unet_params) -> optax.GradientTransformatio
         scale_updates_by_tree(mults),
         optax.scale_by_schedule(lambda s: -cfg.learning_rate * schedule(s)),
     )
+    # don't allocate Adam moments for frozen leaves (lr multiplier 0) and
+    # hard-zero their updates: with lora_only this drops ~12 GB of fp32
+    # optimizer state for the 1.5B frozen base
+    labels = jax.tree.map(lambda m: "train" if m > 0.0 else "freeze", mults)
+    if "freeze" in jax.tree.leaves(labels):
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
     if cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
     return tx
