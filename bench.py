@@ -4,8 +4,8 @@ Measures the end-to-end sampling pipeline on one chip — the CFG-doubled
 denoising loop on the full-size (~1.5B-param) VideoUNet plus the chunked
 temporal VAE decode — and prints ONE JSON line.
 
-Config (default): 25 frames at 320x576 latent resolution, 10 EDM steps,
-vanilla CFG 2.5 — BASELINE.md benchmark config #1. Weights are random
+Config (default): the headline BASELINE.md config #2 — 25 frames at
+576x1024, 25 EDM steps, triangular CFG 2.5, overlap-blended chunked decode. Weights are random
 (throughput is weight-independent; the released vista.safetensors importer
 lives in vista_tpu/utils/checkpoint.py).
 
@@ -35,14 +35,15 @@ def baseline_estimate(height: int, width: int, steps: int) -> float:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--height", type=int, default=320)
-    p.add_argument("--width", type=int, default=576)
-    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--height", type=int, default=576)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=25)
     p.add_argument("--frames", type=int, default=25)
     p.add_argument("--cfg-scale", type=float, default=2.5)
+    p.add_argument("--guider", default="triangle", choices=["vanilla", "triangle", "linear"])
     p.add_argument("--no-decode", action="store_true")
-    p.add_argument("--decode-chunk", type=int, default=14)
-    p.add_argument("--decode-overlap", type=int, default=3)
+    p.add_argument("--decode-chunk", type=int, default=5)
+    p.add_argument("--decode-overlap", type=int, default=2)
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--cfg-mode", default="batched", choices=["batched", "sequential"])
     p.add_argument("--iters", type=int, default=3)
@@ -109,7 +110,7 @@ def main():
     uc["vector"] = cond["vector"]
 
     scfg = SamplerConfig(num_steps=args.steps, cfg_mode=args.cfg_mode,
-                         guider=GuiderConfig(kind="vanilla", scale=args.cfg_scale, num_frames=t))
+                         guider=GuiderConfig(kind=args.guider, scale=args.cfg_scale, num_frames=t))
     cond_frame = jnp.zeros((t, hl, wl, 4))
 
     @jax.jit
@@ -130,17 +131,23 @@ def main():
         return engine.decode_first_stage({"decoder": dec_params["params"]},
                                          lat.astype(jnp.bfloat16))
 
-    noise = jax.random.normal(jax.random.key(1), (t, hl, wl, 4))
+    def fresh_noise(i):
+        return jax.random.normal(jax.random.key(i), (t, hl, wl, 4))
+
     print("compiling sampling program...", flush=True)
     t0 = time.perf_counter()
-    out = jax.block_until_ready(sample(unet_params, dec_params, noise))
+    out = jax.block_until_ready(sample(unet_params, dec_params, fresh_noise(0)))
     compile_time = time.perf_counter() - t0
     print(f"compile+first-run: {compile_time:.1f}s", flush=True)
 
     times = []
     for i in range(args.iters):
+        # fresh input each iter + fetch a scalar: defeats any request-level
+        # result caching between the host and the device tunnel
+        noise = jax.block_until_ready(fresh_noise(i + 1))
         t0 = time.perf_counter()
-        jax.block_until_ready(sample(unet_params, dec_params, noise))
+        out = sample(unet_params, dec_params, noise)
+        _ = float(out.mean())
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]

@@ -36,5 +36,7 @@ class TestFlashAttention:
         self._check(b=1, s_q=128, s_k=384, h=1, d=16)
 
     def test_shape_gate(self):
-        assert flash_shape_supported((2, 2304, 5, 64), (2, 2304, 5, 64))
+        # crossover measured at ~4096 tokens (XLA fused attention wins below)
+        assert flash_shape_supported((2, 9216, 5, 64), (2, 9216, 5, 64))
+        assert not flash_shape_supported((2, 2880, 5, 64), (2, 2880, 5, 64))
         assert not flash_shape_supported((2, 25, 5, 64), (2, 25, 5, 64))

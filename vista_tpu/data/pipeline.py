@@ -22,7 +22,6 @@ import numpy as np
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     batch_size: int = 1
-    samples_per_epoch: int = 32000
     prefetch: int = 2
     num_threads: int = 8
     max_retries: int = 100
@@ -108,7 +107,7 @@ class DataPipeline:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if not self._threads:
             self.start()
-        steps = self.cfg.samples_per_epoch // self.cfg.batch_size
+        steps = len(self.sampler) // self.cfg.batch_size
         for _ in range(steps):
             item = self._q.get()
             if isinstance(item, Exception):
