@@ -42,8 +42,8 @@ def main():
     p.add_argument("--cfg-scale", type=float, default=2.5)
     p.add_argument("--guider", default="triangle", choices=["vanilla", "triangle", "linear"])
     p.add_argument("--no-decode", action="store_true")
-    p.add_argument("--decode-chunk", type=int, default=5)
-    p.add_argument("--decode-overlap", type=int, default=2)
+    p.add_argument("--decode-chunk", type=int, default=14)
+    p.add_argument("--decode-overlap", type=int, default=3)
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--cfg-mode", default="batched", choices=["batched", "sequential"])
     p.add_argument("--iters", type=int, default=3)
