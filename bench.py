@@ -46,6 +46,8 @@ def main():
     p.add_argument("--decode-overlap", type=int, default=3)
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--cfg-mode", default="batched", choices=["batched", "sequential"])
+    p.add_argument("--action-control", action="store_true",
+                   help="action-conditioned config (+2432 context dims, K/V adapters)")
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args()
 
@@ -61,7 +63,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     backend = args.attn if args.attn != "auto" else ("pallas" if on_tpu else "xla")
-    ucfg = VideoUNetConfig(attn_backend=backend)
+    ucfg = VideoUNetConfig(attn_backend=backend, action_control=args.action_control)
     vcfg = VAEConfig()
     engine = VistaEngine(dataclasses.replace(
         EngineConfig(), unet=ucfg, vae=vcfg, num_frames=args.frames,
@@ -155,7 +157,7 @@ def main():
 
     print(json.dumps({
         "metric": f"frames/sec/chip ({args.height}x{args.width}, {args.frames}f, "
-                  f"{args.steps} EDM steps, CFG, {'latent-only' if args.no_decode else 'incl. decode'})",
+                  f"{args.steps} EDM steps, CFG, {'actions, ' if args.action_control else ''}{'latent-only' if args.no_decode else 'incl. decode'})",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline_estimate(args.height, args.width, args.steps), 4),
