@@ -88,6 +88,33 @@ class VistaEngine:
         self.decoder = VideoVAEDecoder(cfg.vae)
         self.conditioner = GeneralConditioner(cfg.conditioner)
         self.scaling = get_scaling(cfg.scaling)
+        self._jit_cache: Dict = {}
+
+    # ---------------- cached jitted programs ----------------
+    # jax.jit caches by function identity: wrappers must be created ONCE per
+    # engine (per static options), or every caller-level closure recompiles
+    # the same program (a full rollout recompiled ~8 programs per call).
+
+    def _cached(self, key, build):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = build()
+        return self._jit_cache[key]
+
+    def jit_encode(self):
+        return self._cached(("encode",), lambda: jax.jit(
+            lambda p, x, k: self.encode_first_stage(p, x, key=k)))
+
+    def jit_decode(self):
+        return self._cached(("decode",), lambda: jax.jit(self.decode_first_stage))
+
+    def jit_condition_pair(self, force_uc_zero: FrozenSet[str], skip_encode: bool = False):
+        key = ("cond_pair", tuple(sorted(force_uc_zero)), skip_encode)
+        return self._cached(key, lambda: jax.jit(
+            lambda p, b: self.condition_pair(p, b, force_uc_zero, skip_encode)))
+
+    def jit_sample(self, sampler: SamplerConfig):
+        return self._cached(("sample", sampler), lambda: jax.jit(
+            lambda p, noise, c, uc, cf, cm: self.sample(p, noise, c, uc, cf, cm, sampler)))
 
     # ---------------- init ----------------
 

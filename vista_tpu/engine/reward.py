@@ -44,23 +44,29 @@ def estimate_reward(
     key = key if key is not None else jax.random.key(0)
     k_enc, k_aug, k_ens = jax.random.split(key, 3)
 
-    z = engine.encode_first_stage(params, images, key=k_enc)
+    z = engine.jit_encode()(params, images, k_enc)
 
     b = dict(batch)
     b["cond_frames_without_noise"] = images[:1]
     cond_aug = batch.get("cond_aug", jnp.zeros((1,)))
     b["cond_frames"] = images[:1] + cond_aug[0] * jax.random.normal(
         k_aug, images[:1].shape, dtype=images.dtype)
-    c, uc = engine.condition_pair(params, b, force_uc_zero)
+    c, uc = engine.jit_condition_pair(force_uc_zero)(params, b)
 
     mask = jnp.zeros((t,), dtype=jnp.float32).at[
         jnp.asarray(initial_cond_indices, dtype=jnp.int32)].set(1.0)
 
-    def one_member(i):
-        noise = jax.random.normal(jax.random.fold_in(k_ens, i), z.shape, dtype=z.dtype)
-        s = engine.sample(params, noise, c, uc, cond_frame=z, cond_mask=mask, sampler=sampler)
-        return s.at[0].set(z[0])
+    def run_ensemble(params, z, c, uc, mask, k_ens):
+        def one_member(i):
+            noise = jax.random.normal(jax.random.fold_in(k_ens, i), z.shape, dtype=z.dtype)
+            s = engine.sample(params, noise, c, uc, cond_frame=z, cond_mask=mask,
+                              sampler=sampler)
+            return s.at[0].set(z[0])
 
-    ensemble = jax.lax.map(one_member, jnp.arange(ensemble_size))
-    variance = jnp.var(ensemble, axis=0, ddof=1)
-    return jnp.exp(-variance.mean())
+        ensemble = jax.lax.map(one_member, jnp.arange(ensemble_size))
+        variance = jnp.var(ensemble, axis=0, ddof=1)
+        return jnp.exp(-variance.mean())
+
+    run_j = engine._cached(("reward", sampler, ensemble_size),
+                           lambda: jax.jit(run_ensemble))
+    return run_j(params, z, c, uc, mask, k_ens)

@@ -67,11 +67,16 @@ def autoregressive_rollout(
     key = key if key is not None else jax.random.key(0)
     k_enc, key = jax.random.split(key)
 
-    z = engine.encode_first_stage(params, images, key=k_enc)
+    # engine-cached jitted stages: eager execution dispatches per-op (slow
+    # over remote devices) and fragments HBM; caller-level jax.jit closures
+    # would recompile per rollout call
+    encode_j = engine.jit_encode()
+    cond_j = engine.jit_condition_pair(rollout.force_uc_zero)
+    cond_skip_j = engine.jit_condition_pair(rollout.force_uc_zero, skip_encode=True)
+    decode_j = engine.jit_decode()
+    run_round = engine.jit_sample(sampler)
 
-    @jax.jit
-    def run_round(params, noise, cond, uc, cond_frame, cond_mask):
-        return engine.sample(params, noise, cond, uc, cond_frame, cond_mask, sampler)
+    z = encode_j(params, images, k_enc)
 
     # ---- round 1: condition on the provided context frames ----
     batch0 = dict(batch)
@@ -80,7 +85,7 @@ def autoregressive_rollout(
     k_aug, key = jax.random.split(key)
     batch0["cond_frames"] = images[:1] + cond_aug[0] * jax.random.normal(
         k_aug, images[:1].shape, dtype=images.dtype)
-    c, uc = engine.condition_pair(params, batch0, rollout.force_uc_zero)
+    c, uc = cond_j(params, batch0)
 
     mask0 = _frame_mask(rollout.initial_cond_indices, t)
     k_noise, key = jax.random.split(key)
@@ -93,12 +98,12 @@ def autoregressive_rollout(
     pred_mask = _frame_mask(list(range(nc)), t)
     for n in range(rollout.num_rounds - 1):
         # CLIP conditioning image: decode the tail, take frame -nc
-        tail = engine.decode_first_stage(params, sample[-cfg.decode_chunk:])
+        tail = decode_j(params, sample[-cfg.decode_chunk:])
         batch_n = dict(batch)
         batch_n["cond_frames_without_noise"] = tail[-nc][None]
         # latent reuse: conditioner skips encoding and re-applies scale_factor
         batch_n["cond_frames"] = sample[-nc][None] / cfg.vae.scale_factor
-        c, uc = engine.condition_pair(params, batch_n, rollout.force_uc_zero, skip_encode=True)
+        c, uc = cond_skip_j(params, batch_n)
 
         filled = jnp.zeros_like(sample).at[:nc].set(sample[-nc:])
         k_noise, key = jax.random.split(key)
@@ -109,6 +114,6 @@ def autoregressive_rollout(
     latents = jnp.concatenate(all_latents, axis=0)
     if not decode_output:
         return None, latents
-    pixels = engine.decode_first_stage(params, latents)
+    pixels = decode_j(params, latents)
     pixels = jnp.clip((pixels + 1.0) / 2.0, 0.0, 1.0)
     return pixels, latents

@@ -13,7 +13,7 @@ alternate by step parity (the Lightning ``optimizer_idx`` counterpart).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

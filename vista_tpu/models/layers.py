@@ -9,7 +9,7 @@ vwm/modules/diffusionmodules/util.py:214-216).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -53,10 +53,6 @@ class GroupNorm32(nn.Module):
             param_dtype=jnp.float32, name="norm",
         )(x.astype(jnp.float32))
         return out.astype(orig_dtype)
-
-
-class Dense(nn.Dense):
-    """nn.Dense with float32 params by default (compute dtype via ``dtype``)."""
 
 
 def dense(features: int, *, use_bias: bool = True, dtype=jnp.bfloat16, name=None,

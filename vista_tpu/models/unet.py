@@ -25,13 +25,12 @@ attention backend is switchable to the Pallas flash kernel.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vista_tpu.models.attention import ACTION_CONTEXT_DIM, SpatialVideoTransformer
+from vista_tpu.models.attention import SpatialVideoTransformer
 from vista_tpu.models.blocks import Downsample, Upsample, VideoResBlock
 from vista_tpu.models.layers import GroupNorm32, TimestepMLP, conv, timestep_embedding, zero_init
 from vista_tpu.utils.basic import repeat_as_img_seq

@@ -16,9 +16,6 @@ each shard's local attention uses the same single-chip kernel.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from vista_tpu.config import save_config
 from vista_tpu.diffusion import GuiderConfig, SamplerConfig
 from vista_tpu.engine import EngineConfig, VistaEngine
-from vista_tpu.engine.training import TrainConfig, TrainState, create_train_state, make_train_step
+from vista_tpu.engine.training import TrainConfig, create_train_state, make_train_step
 from vista_tpu.utils import checkpoint as ckpt_io
 from vista_tpu.utils.video import save_grid_png, save_video_mp4
 
