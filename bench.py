@@ -33,6 +33,22 @@ def baseline_estimate(height: int, width: int, steps: int) -> float:
         BASELINE_REF_STEPS / steps)
 
 
+def baseline_fps(args) -> tuple:
+    """(fps, source): a measured reference number from --baseline-json when
+    one matches the benchmarked config (produced by tools/reference_bench.py
+    on the A100 side), else the analytic estimate. BASELINE.md tracks which
+    configs have measured coverage."""
+    if args.baseline_json:
+        with open(args.baseline_json) as f:
+            payload = json.load(f)
+        for r in payload.get("results", []):
+            if (r["height"] == args.height and r["width"] == args.width
+                    and r["steps"] == args.steps and r["frames"] == args.frames
+                    and r.get("n_rounds", 1) == 1):
+                return r["fps"], f"measured:{payload.get('device', 'unknown')}"
+    return baseline_estimate(args.height, args.width, args.steps), "analytic"
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=576)
@@ -49,6 +65,9 @@ def main():
     p.add_argument("--action-control", action="store_true",
                    help="action-conditioned config (+2432 context dims, K/V adapters)")
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--baseline-json", default=None,
+                   help="measured reference numbers from tools/reference_bench.py; "
+                        "falls back to the analytic estimate when absent")
     args = p.parse_args()
 
     import dataclasses
@@ -155,12 +174,14 @@ def main():
     p50 = times[len(times) // 2]
     fps = args.frames / p50
 
+    base_fps, base_src = baseline_fps(args)
     print(json.dumps({
         "metric": f"frames/sec/chip ({args.height}x{args.width}, {args.frames}f, "
                   f"{args.steps} EDM steps, CFG, {'actions, ' if args.action_control else ''}{'latent-only' if args.no_decode else 'incl. decode'})",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / baseline_estimate(args.height, args.width, args.steps), 4),
+        "vs_baseline": round(fps / base_fps, 4),
+        "baseline_source": base_src,
     }))
 
 

@@ -312,3 +312,79 @@ class TestLoss:
         cfg_none = LossConfig(num_frames=4, replace_cond_frames=False)
         loss_none, _ = diffusion_loss(bad, latents, {}, jax.random.key(2), cfg_none)
         assert float(loss) < float(loss_none)
+
+
+class TestDiscreteDenoiser:
+    """Golden parity with the reference DiscreteDenoiser (denoiser.py:38-69)."""
+
+    def _table(self):
+        return legacy_ddpm_sigmas(50, append_zero=False)
+
+    def test_sigma_quantized_and_idx_conditioning(self):
+        from vista_tpu.diffusion import precondition_denoise_discrete, sigma_to_idx
+
+        table = self._table()
+        sigma = jnp.asarray([0.05, 1.0, 7.7, float(table[0])])
+        idx = sigma_to_idx(sigma, table)
+        # nearest-entry quantization
+        for s, i in zip(np.asarray(sigma), np.asarray(idx)):
+            assert i == int(np.argmin(np.abs(np.asarray(table) - s)))
+
+        captured = {}
+
+        def net(xin, c_noise, cond, mask):
+            captured["c_noise"] = c_noise
+            captured["xin"] = xin
+            return jnp.zeros_like(xin)
+
+        x = jnp.asarray(np.random.RandomState(0).randn(4, 8, 8, 4), jnp.float32)
+        out = precondition_denoise_discrete(
+            net, x, sigma, {}, table, scaling=eps_scaling, quantize_c_noise=True)
+        # EpsScaling: c_noise == sigma, so quantized c_noise == table index
+        np.testing.assert_array_equal(np.asarray(captured["c_noise"]),
+                                      np.asarray(idx, np.float32))
+        # c_in/c_skip/c_out computed from the QUANTIZED sigma
+        sq = np.asarray(table)[np.asarray(idx)]
+        c_in = 1.0 / np.sqrt(sq**2 + 1.0)
+        np.testing.assert_allclose(
+            np.asarray(captured["xin"]),
+            np.asarray(x) * c_in[:, None, None, None], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6)
+
+    def test_matches_torch_reference(self):
+        torch = pytest.importorskip("torch")
+        from tests.torch_ref import load_reference
+        from vista_tpu.diffusion import precondition_denoise_discrete
+
+        load_reference()
+        from vwm.modules.diffusionmodules.denoiser import DiscreteDenoiser
+
+        tden = DiscreteDenoiser(
+            scaling_config={
+                "target": "vwm.modules.diffusionmodules.denoiser_scaling.EpsScaling"},
+            num_idx=50,
+            discretization_config={
+                "target":
+                    "vwm.modules.diffusionmodules.discretizer.LegacyDDPMDiscretization"},
+        )
+
+        class Net(torch.nn.Module):
+            def forward(self, x, c_noise, cond, cond_mask, num_frames):
+                return x * 0.5 + c_noise.view(-1, 1, 1, 1) * 0.01
+
+        rng = np.random.RandomState(1)
+        x = rng.randn(4, 4, 8, 8).astype(np.float32)
+        sigma = np.asarray([0.05, 1.0, 7.7, 80.0], np.float32)
+        with torch.no_grad():
+            ref = tden(Net(), torch.from_numpy(x), torch.from_numpy(sigma),
+                       {}, None).numpy()
+
+        def net(xin, c_noise, cond, mask):
+            return xin * 0.5 + c_noise.reshape(-1, 1, 1, 1) * 0.01
+
+        table = jnp.asarray(tden.sigmas.numpy())
+        out = precondition_denoise_discrete(
+            net, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(sigma), {},
+            table, scaling=eps_scaling, quantize_c_noise=True)
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                                   atol=1e-5, rtol=1e-5)

@@ -27,7 +27,8 @@ def load_reference():
     """Import and return the reference torch modules (vwm.*)."""
     import torch.nn as nn
 
-    _stub("pytorch_lightning", LightningModule=nn.Module, Callback=object)
+    _stub("pytorch_lightning", LightningModule=nn.Module, Callback=object,
+          __version__="2.0.0")
 
     class _ListConfig(list):
         pass
@@ -43,6 +44,9 @@ def load_reference():
 
     from vwm.modules.diffusionmodules import video_model, model as vae_model
     from vwm.modules.autoencoding import temporal_ae
+    from vwm.modules.encoders import modules as encoders
+    from vwm.models import autoencoder
 
     return types.SimpleNamespace(
-        video_model=video_model, vae_model=vae_model, temporal_ae=temporal_ae)
+        video_model=video_model, vae_model=vae_model, temporal_ae=temporal_ae,
+        encoders=encoders, autoencoder=autoencoder)

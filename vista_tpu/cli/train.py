@@ -34,25 +34,16 @@ def main(argv=None):
 
         jax.distributed.initialize()
 
-    import jax
-
     from vista_tpu.config import load_config
-    from vista_tpu.data import (DataPipeline, DatasetConfig, MultiSourceSampler,
-                                PipelineConfig, SyntheticVideoDataset)
+    from vista_tpu.data import build_pipeline
     from vista_tpu.runner import ExperimentConfig, Trainer
 
     cfg = load_config(ExperimentConfig, args.base, args.overrides)
 
-    t = cfg.engine.num_frames
-    ds_cfg = DatasetConfig(height=cfg.height, width=cfg.width, num_frames=t)
-    if args.synthetic_data:
-        datasets = [SyntheticVideoDataset(ds_cfg, length=256)]
-    else:
-        # real datasets are configured via their anno files in the YAML; fall
-        # back to synthetic when none are given so smoke runs always work
-        datasets = [SyntheticVideoDataset(ds_cfg, length=256)]
-    sampler = MultiSourceSampler(datasets, samples_per_epoch=10**9)
-    pipeline = DataPipeline(sampler, PipelineConfig(batch_size=1, num_threads=2))
+    # real sources (youtube/nuscenes anno files) come from the config's
+    # `data:` section; --synthetic-data (or no sources) forces synthetic
+    pipeline = build_pipeline(cfg.data, cfg.height, cfg.width,
+                              cfg.engine.num_frames, synthetic=args.synthetic_data)
 
     init_params = None
     if args.ckpt:

@@ -5,4 +5,11 @@ from vista_tpu.data.datasets import (  # noqa: F401
     SyntheticVideoDataset,
     YouTubeFramesDataset,
 )
-from vista_tpu.data.pipeline import DataPipeline, MultiSourceSampler, PipelineConfig  # noqa: F401
+from vista_tpu.data.pipeline import (  # noqa: F401
+    DataConfig,
+    DataPipeline,
+    MultiSourceSampler,
+    PipelineConfig,
+    SourceConfig,
+    build_pipeline,
+)

@@ -18,6 +18,10 @@ from vista_tpu.diffusion.weighting import (  # noqa: F401
     v_weighting,
 )
 from vista_tpu.diffusion.guidance import GuiderConfig, guider_frame_scales, cfg_merge  # noqa: F401
-from vista_tpu.diffusion.denoiser import precondition_denoise  # noqa: F401
+from vista_tpu.diffusion.denoiser import (  # noqa: F401
+    precondition_denoise,
+    precondition_denoise_discrete,
+    sigma_to_idx,
+)
 from vista_tpu.diffusion.sampler import SamplerConfig, sample_euler_edm  # noqa: F401
 from vista_tpu.diffusion.loss import LossConfig, diffusion_loss  # noqa: F401

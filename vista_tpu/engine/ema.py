@@ -14,7 +14,10 @@ import jax.numpy as jnp
 
 
 def ema_init(params):
-    return jax.tree.map(jnp.asarray, params)
+    # real copies, not aliases: the shadow tree must own its buffers so a
+    # train step can donate the whole TrainState (aliased leaves would be
+    # the same buffer donated twice)
+    return jax.tree.map(lambda x: jnp.array(x, copy=True), params)
 
 
 def ema_update(ema_params, params, num_updates, decay: float = 0.9999):

@@ -70,6 +70,7 @@ class CLIPLayerNorm(nn.Module):
 class CLIPAttention(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.bfloat16
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -80,22 +81,30 @@ class CLIPAttention(nn.Module):
         q = q.reshape(b, s, self.heads, dh)
         k = k.reshape(b, s, self.heads, dh)
         v = v.reshape(b, s, self.heads, dh)
-        out = dot_product_attention(q, k, v).reshape(b, s, d)
+        out = dot_product_attention(q, k, v, causal=self.causal).reshape(b, s, d)
         return dense(d, dtype=self.dtype, name="out_proj")(out)
+
+
+def _quick_gelu(x: Array) -> Array:
+    """OpenAI CLIP's activation: x * sigmoid(1.702 x) (the openai/ text and
+    vision checkpoints use this; laion2b ViT-H uses exact GELU)."""
+    return x * jax.nn.sigmoid(1.702 * x)
 
 
 class CLIPBlock(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.bfloat16
+    act: str = "gelu"
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         d = x.shape[-1]
-        x = x + CLIPAttention(self.heads, dtype=self.dtype, name="attn")(
-            CLIPLayerNorm(name="ln_1")(x))
+        x = x + CLIPAttention(self.heads, dtype=self.dtype, causal=self.causal,
+                              name="attn")(CLIPLayerNorm(name="ln_1")(x))
         h = CLIPLayerNorm(name="ln_2")(x)
         h = dense(d * 4, dtype=self.dtype, name="mlp_fc")(h)
-        h = nn.gelu(h, approximate=False)
+        h = _quick_gelu(h) if self.act == "quick_gelu" else nn.gelu(h, approximate=False)
         h = dense(d, dtype=self.dtype, name="mlp_proj")(h)
         return x + h
 
@@ -134,3 +143,60 @@ class CLIPVisionTower(nn.Module):
         proj = self.param("proj", nn.initializers.normal(cfg.width**-0.5),
                           (cfg.width, cfg.output_dim), jnp.float32)
         return (x @ proj.astype(dtype)).astype(jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """openai/clip-vit-large-patch14 text trunk (the reference's
+    FrozenCLIPEmbedder, modules.py:183-248 — present in the reference API
+    surface though absent from shipped Vista configs)."""
+
+    vocab_size: int = 49408
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    max_length: int = 77
+    act: str = "quick_gelu"
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def tiny(self) -> "CLIPTextConfig":
+        return dataclasses.replace(self, vocab_size=128, width=32, layers=2, heads=2,
+                                   max_length=16)
+
+
+class CLIPTextTower(nn.Module):
+    """Causal CLIP text transformer over token ids ``(b, L)``.
+
+    Returns ``(last_hidden_state (b, L, width), pooled (b, width))`` —
+    the reference's ``layer="last"`` output plus the EOT-pooled embedding
+    (``layer="pooled"``). Tokenization stays host-side (the reference uses
+    HF's CLIPTokenizer; pass its ``input_ids`` here). The EOT position is
+    ``argmax(tokens)`` — the EOT id is the largest in CLIP's vocabulary,
+    matching HF's pooling rule.
+    """
+
+    cfg: CLIPTextConfig
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Tuple[Array, Array]:
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        b, s = tokens.shape
+
+        emb = nn.Embed(cfg.vocab_size, cfg.width, param_dtype=jnp.float32,
+                       name="token_embedding")(tokens)
+        pos = self.param("positional_embedding", nn.initializers.normal(0.01),
+                         (cfg.max_length, cfg.width), jnp.float32)
+        x = (emb + pos[None, :s]).astype(dtype)
+
+        for i in range(cfg.layers):
+            x = CLIPBlock(cfg.heads, dtype=dtype, act=cfg.act, causal=True,
+                          name=f"block_{i}")(x)
+        x = CLIPLayerNorm(name="ln_final")(x)
+
+        pooled = x[jnp.arange(b), jnp.argmax(tokens, axis=-1)]
+        return x.astype(jnp.float32), pooled.astype(jnp.float32)

@@ -8,8 +8,9 @@ GeneralConditioner and its embedders) specialized to Vista's shipped set
   one 1024-d token per video -> ``crossattn`` (b, 1, 1024);
 - ``fps_id`` / ``motion_bucket_id`` / ``cond_aug`` -> 256-d sinusoidal
   embeds summed into ``vector`` (b, 768 = adm_in_channels) by concatenation;
-- ``cond_frames`` -> frozen VAE encoder (posterior *mode*), scaled, one
-  4-channel latent per video -> ``concat`` (b, h/8, w/8, 4);
+- ``cond_frames`` -> frozen VAE encoder (posterior *mode*), UNSCALED (the
+  embedder's scale_factor defaults to 1.0 in the reference), one 4-channel
+  latent per video -> ``concat`` (b, h/8, w/8, 4);
 - five action modalities (command 1, trajectory 8, speed 4, angle 4, goal 2)
   -> 128-d sinusoidal per scalar, concatenated onto the crossattn feature
   axis (19*128 = 2432 extra dims matching the UNet's action-control K/V
@@ -62,9 +63,14 @@ class ConditionerConfig:
     vae: VAEConfig = dataclasses.field(default_factory=VAEConfig)
     vector_outdim: int = 256  # fps/motion/cond_aug embed width (3*256 = 768 adm)
     action_control: bool = False
-    # train-time classifier-free dropout rate per embedder (ucg_rate 0.15 in
-    # shipped training configs)
+    # train-time classifier-free dropout: rate applies ONLY to the embedders
+    # named in ucg_keys. The reference trains with ucg_rate 0.15 on the two
+    # cond-frame embedders (phase 1) plus the five action embedders (phase 2)
+    # and 0.0 on fps/motion/cond_aug
+    # (configs/training/vista_phase1.yaml:55,67,74,81,113;
+    # vista_phase2_stage1.yaml:120-156).
     ucg_rate: float = 0.0
+    ucg_keys: Tuple[str, ...] = ("cond_frames_without_noise", "cond_frames")
 
     def tiny(self) -> "ConditionerConfig":
         return dataclasses.replace(self, clip=self.clip.tiny(), vae=self.vae.tiny())
@@ -119,7 +125,7 @@ class GeneralConditioner(nn.Module):
             """Per-embedder CFG dropout (Bernoulli keep mask) / forced zeroing."""
             if key_name in force_zero:
                 return jnp.zeros_like(emb)
-            if ucg_key is not None and cfg.ucg_rate > 0.0:
+            if ucg_key is not None and cfg.ucg_rate > 0.0 and key_name in cfg.ucg_keys:
                 k = jax.random.fold_in(ucg_key, subkey_idx)
                 keep = jax.random.bernoulli(k, 1.0 - cfg.ucg_rate, (emb.shape[0],))
                 return emb * keep.astype(emb.dtype).reshape((-1,) + (1,) * (emb.ndim - 1))
@@ -167,7 +173,13 @@ class GeneralConditioner(nn.Module):
             # engine does not. The encoder trunk is shared; this 1x1 conv is
             # the only extra parameter (identity at init).
             moments = self.quant_conv(moments)
-            latent = gaussian_mode(moments) * cfg.vae.scale_factor
+            # The concat conditioning is the UNSCALED latent: the reference's
+            # VideoPredictionEmbedderWithEncoder defaults scale_factor=1.0 and
+            # no shipped config overrides it (modules.py:456,493-497;
+            # configs/inference/vista.yaml:69-98). The rollout's skip_encode
+            # path divides the sampler's scaled latents by scale_factor for
+            # exactly this reason (sample_utils.py:343).
+            latent = gaussian_mode(moments)
         out["concat"] = maybe_drop(latent, "cond_frames", 4)
         return out
 

@@ -12,9 +12,11 @@ sequential ("arbitrary"), accumulating into VMEM scratch (running max ``m``,
 denominator ``l``, and the output accumulator) in fp32. Ragged sequence
 lengths are zero-padded to the block size and masked with ``-inf`` logits.
 
-The backward pass currently recomputes through XLA attention via
-``jax.custom_vjp`` residual-free recompute (flash backward kernel is a
-planned optimization; training shapes at 320x576 fit XLA attention w/ remat).
+The backward pass is also blockwise Pallas (two kernels: dQ with KV
+streamed; dK/dV with Q streamed), using the saved per-row logsumexp — full
+-res 576x1024 *training* would otherwise materialize 9216^2 logits in the
+VJP. Padded-query rows are harmless in the backward (their dO and D are
+zero); padded-KV columns are re-masked to p=0.
 """
 
 from __future__ import annotations
@@ -59,7 +61,7 @@ def flash_shape_supported(q_shape, k_shape) -> bool:
     return s_q >= 4096 and s_k >= 4096 and d <= 256
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
                   scale: float, kv_len: int, block_k: int):
     i_k = pl.program_id(2)
 
@@ -98,13 +100,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(i_k == pl.num_programs(2) - 1)
     def _finalize():
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        # per-row logsumexp, the backward residual
+        lse_ref[0] = (m_scr[:, 0] + jnp.log(l_scr[:, 0]))
 
 
-def _flash_fwd_3d(q: Array, k: Array, v: Array, interpret: bool = False) -> Array:
-    """(BH, S_q, D) x (BH, S_k, D) -> (BH, S_q, D)."""
+def _flash_fwd_3d(
+    q: Array, k: Array, v: Array, interpret: bool = False
+) -> Tuple[Array, Array]:
+    """(BH, S_q, D) x (BH, S_k, D) -> ((BH, S_q, D) out, (BH, S_q) lse)."""
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     scale = d ** -0.5
+    interpret = interpret or jax.default_backend() != "tpu"
 
     block_q = _pick_block(s_q, _BLOCK_Q)
     block_k = _pick_block(s_k, _BLOCK_K)
@@ -119,7 +126,7 @@ def _flash_fwd_3d(q: Array, k: Array, v: Array, interpret: bool = False) -> Arra
 
     grid = (bh, sq_p // block_q, sk_p // block_k)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=s_k, block_k=block_k),
         grid=grid,
         in_specs=[
@@ -127,8 +134,14 @@ def _flash_fwd_3d(q: Array, k: Array, v: Array, interpret: bool = False) -> Arra
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -144,7 +157,80 @@ def _flash_fwd_3d(q: Array, k: Array, v: Array, interpret: bool = False) -> Arra
         ),
         interpret=interpret,
     )(q, k, v)
-    return out[:, :s_q] if pad_q else out
+    if pad_q:
+        out, lse = out[:, :s_q], lse[:, :s_q]
+    return out, lse
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, dq_scr, *,
+                   scale: float, kv_len: int, block_k: int):
+    i_k = pl.program_id(2)
+
+    @pl.when(i_k == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    lse = lse_ref[0]  # (block_q,)
+    dd = dd_ref[0]    # (block_q,) rowsum(dO * O)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse[:, None])
+    col = i_k * block_k + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    p = jnp.where(col < kv_len, p, 0.0)
+
+    dp = jax.lax.dot_general(  # dO V^T: (block_q, block_k)
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - dd[:, None]) * scale
+    dq_scr[:] += jax.lax.dot_general(  # dS K: (block_q, d)
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i_k == pl.num_programs(2) - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *,
+                    scale: float, kv_len: int, block_k: int):
+    i_q = pl.program_id(2)
+
+    @pl.when(i_q == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    lse = lse_ref[0]
+    dd = dd_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse[:, None])  # (block_q, block_k)
+    col = (pl.program_id(1) * block_k
+           + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1))
+    p = jnp.where(col < kv_len, p, 0.0)
+    # padded q rows need no mask: their dO and D are zero, so both the dV
+    # (P^T dO) and dK (dS^T Q, dS = P*(dP-D)) contributions vanish.
+
+    dv_scr[:] += jax.lax.dot_general(  # P^T dO: (block_k, d)
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - dd[:, None]) * scale
+    dk_scr[:] += jax.lax.dot_general(  # dS^T Q: (block_k, d)
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i_q == pl.num_programs(2) - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _xla_reference(q: Array, k: Array, v: Array) -> Array:
@@ -156,29 +242,103 @@ def _xla_reference(q: Array, k: Array, v: Array) -> Array:
 
 @jax.custom_vjp
 def flash_attention(q: Array, k: Array, v: Array) -> Array:
-    """(B, S_q, H, D) attention; Pallas forward, recompute-XLA backward."""
+    """(B, S_q, H, D) attention; Pallas forward AND blockwise Pallas backward."""
     return _flash_forward(q, k, v)
 
 
+def _to_3d(x):
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _from_3d(x, b, h):
+    bh, s, d = x.shape
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
 def _flash_forward(q: Array, k: Array, v: Array, interpret: bool = False) -> Array:
-    b, s_q, h, d = q.shape
-    s_k = k.shape[1]
-    # (B, S, H, D) -> (B*H, S, D)
-    qt = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)
-    kt = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
-    vt = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
-    out = _flash_fwd_3d(qt, kt, vt, interpret=interpret)
-    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)
+    out, _ = _flash_fwd_3d(_to_3d(q), _to_3d(k), _to_3d(v), interpret=interpret)
+    return _from_3d(out, q.shape[0], q.shape[2])
 
 
 def _fwd(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    qt, kt, vt = _to_3d(q), _to_3d(k), _to_3d(v)
+    out, lse = _flash_fwd_3d(qt, kt, vt)
+    b, h = q.shape[0], q.shape[2]
+    return _from_3d(out, b, h), (qt, kt, vt, out, lse, b, h)
 
 
 def _bwd(residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(_xla_reference, q, k, v)
-    return vjp(g)
+    qt, kt, vt, out, lse, b, h = residuals
+    do = _to_3d(g)
+    bh, s_q, d = qt.shape
+    s_k = kt.shape[1]
+    scale = d ** -0.5
+    interpret = jax.default_backend() != "tpu"
+
+    # D_i = rowsum(dO * O) — cheap elementwise reduce, leave it to XLA
+    dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    block_q = _pick_block(s_q, _BLOCK_Q)
+    block_k = _pick_block(s_k, _BLOCK_K)
+    pad_q = (-s_q) % block_q
+    pad_k = (-s_k) % block_k
+    if pad_q:
+        pq = ((0, 0), (0, pad_q), (0, 0))
+        qt, do = jnp.pad(qt, pq), jnp.pad(do, pq)
+        lse, dd = jnp.pad(lse, ((0, 0), (0, pad_q))), jnp.pad(dd, ((0, 0), (0, pad_q)))
+    if pad_k:
+        pk = ((0, 0), (0, pad_k), (0, 0))
+        kt, vt = jnp.pad(kt, pk), jnp.pad(vt, pk)
+    sq_p, sk_p = s_q + pad_q, s_k + pad_k
+    n_q, n_k = sq_p // block_q, sk_p // block_k
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0))
+    kv_spec_j = pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0))
+    row_spec = pl.BlockSpec((1, block_q), lambda b_, i, j: (b_, i))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=s_k, block_k=block_k),
+        grid=(bh, n_q, n_k),
+        in_specs=[q_spec, kv_spec_j, kv_spec_j, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), qt.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * sq_p * sk_p * d,
+            bytes_accessed=2 * bh * (2 * sq_p + 2 * sk_p) * d * qt.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p),
+        interpret=interpret,
+    )(qt, kt, vt, do, lse, dd)
+
+    # dK/dV: iterate q blocks innermost, k blocks parallel
+    q_spec_i = pl.BlockSpec((1, block_q, d), lambda b_, j, i: (b_, i, 0))
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda b_, j, i: (b_, j, 0))
+    row_spec_i = pl.BlockSpec((1, block_q), lambda b_, j, i: (b_, i))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=s_k, block_k=block_k),
+        grid=(bh, n_k, n_q),
+        in_specs=[q_spec_i, kv_spec, kv_spec, q_spec_i, row_spec_i, row_spec_i],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[jax.ShapeDtypeStruct((bh, sk_p, d), kt.dtype),
+                   jax.ShapeDtypeStruct((bh, sk_p, d), vt.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * sq_p * sk_p * d,
+            bytes_accessed=2 * bh * (2 * sq_p + 2 * sk_p) * d * qt.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p),
+        interpret=interpret,
+    )(qt, kt, vt, do, lse, dd)
+
+    dq = dq[:, :s_q] if pad_q else dq
+    dk = dk[:, :s_k] if pad_k else dk
+    dv = dv[:, :s_k] if pad_k else dv
+    return _from_3d(dq, b, h), _from_3d(dk, b, h), _from_3d(dv, b, h)
 
 
 flash_attention.defvjp(_fwd, _bwd)

@@ -29,11 +29,24 @@ import jax
 import jax.numpy as jnp
 
 from vista_tpu.config import save_config
+from vista_tpu.data.pipeline import DataConfig
 from vista_tpu.diffusion import GuiderConfig, SamplerConfig
 from vista_tpu.engine import EngineConfig, VistaEngine
 from vista_tpu.engine.training import TrainConfig, create_train_state, make_train_step
+from vista_tpu.parallel import batch_sharding, fsdp_param_specs, make_mesh, shard_pytree
 from vista_tpu.utils import checkpoint as ckpt_io
 from vista_tpu.utils.video import save_grid_png, save_video_mp4
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh shape for the training runner. ``data`` = batch-sharding axis
+    (DDP counterpart); ``fsdp`` = parameter/optimizer/EMA sharding axis
+    (ZeRO counterpart). ``data: -1`` fills with the remaining devices."""
+
+    data: int = -1
+    fsdp: int = 1
+    fsdp_min_size: int = 2**16  # leaves smaller than this stay replicated
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +68,8 @@ class ExperimentConfig:
     engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     run: RunConfig = dataclasses.field(default_factory=RunConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     height: int = 320
     width: int = 576
 
@@ -82,18 +97,41 @@ class Trainer:
         if jax.process_index() == 0:
             save_config(cfg, os.path.join(run.logdir, "config.yaml"))
 
+        # SPMD: data axis shards the batch (DDP counterpart), fsdp axis shards
+        # params/opt-state/EMA (ZeRO counterpart). A 1-device mesh is the
+        # degenerate case of the same program.
+        par = cfg.parallel
+        axes = {"data": par.data}
+        if par.fsdp > 1:
+            axes["fsdp"] = par.fsdp
+        self.mesh = make_mesh(axes)
+        n_data = self.mesh.shape["data"]
+        if pipeline is not None and pipeline.cfg.batch_size % n_data:
+            raise ValueError(
+                f"global batch {pipeline.cfg.batch_size} not divisible by "
+                f"data-parallel degree {n_data}")
+
         params = init_params if init_params is not None else self.engine.init_params(
             jax.random.key(run.seed), cfg.height, cfg.width)
         tcfg = cfg.train
         if run.scale_lr:
             bs = pipeline.cfg.batch_size if pipeline is not None else 1
-            n_data = jax.device_count()
             tcfg = dataclasses.replace(
                 tcfg, learning_rate=tcfg.accum_steps * n_data * bs * tcfg.learning_rate)
         self.tcfg = tcfg
-        self.state, self.tx = create_train_state(tcfg, params)
-        self.frozen = {k: v for k, v in params.items() if k != "unet"}
-        self.step_fn = jax.jit(make_train_step(self.engine, tcfg, self.tx))
+        state, self.tx = create_train_state(tcfg, params)
+        # shape-based specs cover the whole TrainState uniformly: params, EMA
+        # and Adam moments share shapes -> identical shards; scalars replicate
+        self._state_specs = fsdp_param_specs(state, self.mesh,
+                                             min_size=par.fsdp_min_size)
+        self.state = shard_pytree(state, self.mesh, self._state_specs)
+        frozen = {k: v for k, v in params.items() if k != "unet"}
+        self.frozen = shard_pytree(
+            frozen, self.mesh, jax.tree.map(lambda _: jax.sharding.PartitionSpec(),
+                                            frozen))
+        self.step_fn = jax.jit(make_train_step(self.engine, tcfg, self.tx),
+                               donate_argnums=(0,))
+        self._batch_sharding = batch_sharding(self.mesh)
 
         self._metrics_path = os.path.join(run.logdir, "metrics.csv")
         self._csv_initialized = os.path.exists(self._metrics_path)
@@ -131,8 +169,20 @@ class Trainer:
     def resume(self, path: str):
         restored = ckpt_io.load_checkpoint(
             path, {"state": jax.device_get(self.state), "frozen": jax.device_get(self.frozen)})
-        self.state = restored["state"]
-        self.frozen = restored["frozen"]
+        self.state = shard_pytree(restored["state"], self.mesh, self._state_specs)
+        self.frozen = shard_pytree(
+            restored["frozen"], self.mesh,
+            jax.tree.map(lambda _: jax.sharding.PartitionSpec(), restored["frozen"]))
+
+    def _put_batch(self, batch: Dict):
+        """Host batch -> device arrays sharded over the ``data`` axis."""
+        def put(x):
+            x = np.asarray(x)
+            if jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(self._batch_sharding, x)
+            return jax.device_put(x, self._batch_sharding)
+
+        return jax.tree.map(put, batch)
 
     def log_images(self, batch: Dict):
         """Sample a short prediction from the current EMA params and save it."""
@@ -148,17 +198,22 @@ class Trainer:
             "cond_frames_without_noise": frames[:1],
             "cond_frames": frames[:1],
         }
-        c, uc = self.engine.condition_pair(params, cond_batch)
-        z = self.engine.encode_first_stage(params, frames)
+        # engine-cached jitted programs: the eager path dispatches per-op
+        # (tens of minutes for the full model over a remote-device tunnel) and
+        # would stall training at every image-log step. The sampler config is
+        # identical across calls, so each stage compiles exactly once.
         sampler = SamplerConfig(
             num_steps=run.image_log_steps,
             guider=GuiderConfig(kind="linear", scale=run.image_log_cfg_max,
                                 min_scale=run.image_log_cfg_min, num_frames=t))
+        c, uc = self.engine.jit_condition_pair(frozenset(
+            {"cond_frames", "cond_frames_without_noise",
+             "command", "trajectory", "speed", "angle", "goal"}))(params, cond_batch)
+        z = self.engine.jit_encode()(params, frames, None)
         mask = jnp.zeros((t,)).at[0].set(1.0)
         noise = jax.random.normal(jax.random.key(int(self.state.step)), z.shape)
-        sample = self.engine.sample(params, noise, c, uc, cond_frame=z, cond_mask=mask,
-                                    sampler=sampler)
-        pixels = self.engine.decode_first_stage(params, sample)
+        sample = self.engine.jit_sample(sampler)(params, noise, c, uc, z, mask)
+        pixels = self.engine.jit_decode()(params, sample)
         pixels = np.asarray(jnp.clip((pixels + 1.0) / 2.0, 0.0, 1.0))
         step = int(self.state.step)
         img_dir = os.path.join(run.logdir, "images")
@@ -175,7 +230,7 @@ class Trainer:
         t_last = time.perf_counter()
         while int(self.state.step) < run.max_steps and not self._stop:
             batch = next(it)
-            device_batch = jax.tree.map(jnp.asarray, batch)
+            device_batch = self._put_batch(batch)
             key = jax.random.fold_in(jax.random.key(run.seed), int(self.state.step))
             self.state, metrics = self.step_fn(self.state, self.frozen, device_batch, key)
             step = int(self.state.step)

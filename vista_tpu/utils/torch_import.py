@@ -29,7 +29,7 @@ import numpy as np
 
 from vista_tpu.models.unet import VideoUNetConfig
 from vista_tpu.models.vae import VAEConfig
-from vista_tpu.models.clip import CLIPVisionConfig
+from vista_tpu.models.clip import CLIPTextConfig, CLIPVisionConfig
 
 # one entry: (torch_key, flax_path ("/"-joined), transform)
 Entry = Tuple[str, str, str]
@@ -344,6 +344,54 @@ def clip_key_map(cfg: CLIPVisionConfig) -> List[Entry]:
         e += _linear(f"{t}.mlp.c_proj", f"{f}/mlp_proj")
     e += _norm("ln_post", "ln_post/ln")
     return e
+
+
+def import_hf_clip_text(state_dict: Dict[str, np.ndarray], cfg: CLIPTextConfig) -> Dict:
+    """HF ``CLIPTextModel`` (openai/clip-vit-large-patch14 layout) state dict
+    -> CLIPTextTower flax params. The separate q/k/v projections are fused
+    into the tower's single in_proj before key mapping. Accepts keys with or
+    without the ``text_model.`` prefix."""
+    sd = {k.removeprefix("text_model."): np.asarray(v) for k, v in state_dict.items()}
+
+    fused = {
+        "token_embedding": sd["embeddings.token_embedding.weight"],
+        "positional_embedding": sd["embeddings.position_embedding.weight"],
+        "ln_final.weight": sd["final_layer_norm.weight"],
+        "ln_final.bias": sd["final_layer_norm.bias"],
+    }
+    for i in range(cfg.layers):
+        h = f"encoder.layers.{i}"
+        fused[f"blk.{i}.in_proj_weight"] = np.concatenate(
+            [sd[f"{h}.self_attn.q_proj.weight"], sd[f"{h}.self_attn.k_proj.weight"],
+             sd[f"{h}.self_attn.v_proj.weight"]], axis=0)
+        fused[f"blk.{i}.in_proj_bias"] = np.concatenate(
+            [sd[f"{h}.self_attn.q_proj.bias"], sd[f"{h}.self_attn.k_proj.bias"],
+             sd[f"{h}.self_attn.v_proj.bias"]], axis=0)
+        for name in ("out_proj",):
+            fused[f"blk.{i}.{name}.weight"] = sd[f"{h}.self_attn.{name}.weight"]
+            fused[f"blk.{i}.{name}.bias"] = sd[f"{h}.self_attn.{name}.bias"]
+        for t, f in (("layer_norm1", "ln_1"), ("layer_norm2", "ln_2")):
+            fused[f"blk.{i}.{f}.weight"] = sd[f"{h}.{t}.weight"]
+            fused[f"blk.{i}.{f}.bias"] = sd[f"{h}.{t}.bias"]
+        for t, f in (("mlp.fc1", "mlp_fc"), ("mlp.fc2", "mlp_proj")):
+            fused[f"blk.{i}.{f}.weight"] = sd[f"{h}.{t}.weight"]
+            fused[f"blk.{i}.{f}.bias"] = sd[f"{h}.{t}.bias"]
+
+    entries: List[Entry] = [
+        ("token_embedding", "token_embedding/embedding", "direct"),
+        ("positional_embedding", "positional_embedding", "direct"),
+    ]
+    entries += _norm("ln_final", "ln_final/ln")
+    for i in range(cfg.layers):
+        t, f = f"blk.{i}", f"block_{i}"
+        entries += [(f"{t}.in_proj_weight", f"{f}/attn/in_proj/kernel", "linear"),
+                    (f"{t}.in_proj_bias", f"{f}/attn/in_proj/bias", "direct")]
+        entries += _linear(f"{t}.out_proj", f"{f}/attn/out_proj")
+        entries += _norm(f"{t}.ln_1", f"{f}/ln_1/ln")
+        entries += _norm(f"{t}.ln_2", f"{f}/ln_2/ln")
+        entries += _linear(f"{t}.mlp_fc", f"{f}/mlp_fc")
+        entries += _linear(f"{t}.mlp_proj", f"{f}/mlp_proj")
+    return apply_key_map(fused, entries, "", strict=True)
 
 
 # ---------------- application ----------------
