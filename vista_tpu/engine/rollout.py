@@ -93,15 +93,28 @@ def autoregressive_rollout(
     sample = run_round(params, noise, c, uc, z, mask0)
     sample = sample.at[0].set(z[0])
 
+    # decode per round with FIXED shapes (t latents in, t frames out): one
+    # compiled decode program serves every round and every horizon — decoding
+    # the full num_rounds*(t-nc)+nc concatenation at the end would compile a
+    # fresh program per num_rounds value. Rounds 2+ carry the previous
+    # round's nc context latents through the decoder (temporal consistency)
+    # and drop those frames from the output.
     all_latents = [sample]
+    all_pixels = [decode_j(params, sample)] if decode_output else None
 
     pred_mask = _frame_mask(list(range(nc)), t)
     for n in range(rollout.num_rounds - 1):
-        # CLIP conditioning image: decode the tail, take frame -nc
-        tail = decode_j(params, sample[-cfg.decode_chunk:])
+        # CLIP conditioning image for the next round: frame -nc in pixels
+        # (reuse the round decode when we have it; else decode just the tail)
+        if decode_output:
+            clip_frame = all_pixels[-1][-nc]
+        else:
+            clip_frame = decode_j(params, sample[-cfg.decode_chunk:])[-nc]
         batch_n = dict(batch)
-        batch_n["cond_frames_without_noise"] = tail[-nc][None]
-        # latent reuse: conditioner skips encoding and re-applies scale_factor
+        batch_n["cond_frames_without_noise"] = clip_frame[None]
+        # latent reuse: divide the sampler-space (scaled) latent back to the
+        # raw VAE latent the concat channel carries (sample_utils.py:343) —
+        # identical to what the encode path produces for the same frame
         batch_n["cond_frames"] = sample[-nc][None] / cfg.vae.scale_factor
         c, uc = cond_skip_j(params, batch_n)
 
@@ -110,10 +123,12 @@ def autoregressive_rollout(
         noise = jax.random.normal(k_noise, z.shape, dtype=z.dtype)
         sample = run_round(params, noise, c, uc, filled, pred_mask)
         all_latents.append(sample[nc:])
+        if decode_output:
+            all_pixels.append(decode_j(params, sample)[nc:])
 
     latents = jnp.concatenate(all_latents, axis=0)
     if not decode_output:
         return None, latents
-    pixels = decode_j(params, latents)
+    pixels = jnp.concatenate(all_pixels, axis=0)
     pixels = jnp.clip((pixels + 1.0) / 2.0, 0.0, 1.0)
     return pixels, latents
