@@ -90,6 +90,44 @@ class CrossAttention(nn.Module):
             assert self.context_dim is not None
             ctx, ctx_action = ctx[..., : self.context_dim], ctx[..., self.context_dim:]
 
+        # Single-token context fast path: Vista's conditioning context is ONE
+        # token per video (CLIP image embed ++ action embeds), and softmax
+        # over a single key is identically 1, so attention output == v for
+        # EVERY query — the q/k projections and both attention matmuls are
+        # mathematically dead. Compute to_out(to_v(ctx)) once per context row
+        # and broadcast over queries (exact; autodiff likewise gives zero
+        # grads to to_q/to_k through a one-logit softmax). The context batch
+        # may be a divisor of the query batch (per-video context for b*h*w
+        # temporal rows) — the OUTPUT is repeated, never the context.
+        single_kv = (context is not None and ctx.shape[1] == 1
+                     and not self.is_initializing())
+        if single_kv:
+            v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+            if self.add_lora:
+                v = v + LoRAAdapter(self.lora_rank, inner, self.lora_scale, self.dtype,
+                                    name="v_adapter")(ctx)
+            if self.action_control:
+                v = v + dense(inner, use_bias=False, dtype=self.dtype,
+                              name="v_adapter_action", kernel_init=zero_init)(ctx_action)
+            y = dense(self.query_dim, dtype=self.dtype, name="to_out")(v)
+            if self.add_lora:
+                y = y + LoRAAdapter(self.lora_rank, self.query_dim, self.lora_scale,
+                                    self.dtype, name="out_adapter")(v)
+            b_x, s_q = x.shape[0], x.shape[1]
+            if y.shape[0] != b_x:
+                assert b_x % y.shape[0] == 0, (y.shape, x.shape)
+                y = jnp.repeat(y, b_x // y.shape[0], axis=0)
+            return jnp.broadcast_to(y, (b_x, s_q, self.query_dim))
+
+        # full path: a per-video context (batch divisor of the query batch)
+        # must be repeated per row here; the fast path above avoids this by
+        # repeating the OUTPUT instead
+        if context is not None and ctx.shape[0] != x.shape[0]:
+            reps = x.shape[0] // ctx.shape[0]
+            ctx = jnp.repeat(ctx, reps, axis=0)
+            if ctx_action is not None:
+                ctx_action = jnp.repeat(ctx_action, reps, axis=0)
+
         q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
@@ -238,10 +276,16 @@ class TemporalTransformerBlock(nn.Module):
 
         rows = b * s
         n_chunks = 1
-        row_aligned_tc = time_context is not None and time_context.shape[0] == rows
-        if row_aligned_tc:
+        if time_context is not None:
             while rows // n_chunks > self.max_rows and rows % (n_chunks * 2) == 0:
                 n_chunks *= 2
+            if n_chunks > 1 and time_context.shape[0] != rows:
+                # the scan path slices context per row chunk; materialize the
+                # per-row repeat only in this (rare, huge-rows) case — the
+                # unchunked path hands the per-video context straight to the
+                # cross-attention, which broadcasts its OUTPUT instead
+                time_context = jnp.repeat(time_context, rows // time_context.shape[0],
+                                          axis=0)
 
         core_kwargs = dict(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
@@ -302,11 +346,13 @@ class SpatialVideoTransformer(nn.Module):
 
         time_context = None
         if self.use_spatial_context and context is not None:
-            # first frame's context per video, repeated per spatial location:
-            # (b*t, 1, d) -> (b, 1, d) -> (b*h*w, 1, d)
+            # first frame's context per video, (b*t, 1, d) -> (b, 1, d). The
+            # reference repeats this h*w-fold per spatial location
+            # (video_attention.py:252-257) — here the single-token
+            # cross-attention broadcasts its output instead, so the repeated
+            # context (hundreds of MB at full res) is never materialized.
             b = bt // num_frames
-            first = context.reshape(b, num_frames, *context.shape[1:])[:, 0]
-            time_context = jnp.repeat(first, h * w, axis=0)
+            time_context = context.reshape(b, num_frames, *context.shape[1:])[:, 0]
 
         x = GroupNorm32(num_groups=32, eps=1e-6, name="norm")(x)
         x = x.reshape(bt, h * w, c)
