@@ -208,6 +208,48 @@ void vh_crop_resize_normalize(const uint8_t* src, int sw, int sh,
     crop_resize_normalize(src, sw, sh, dst, dw, dh);
 }
 
+// Encode one (h, w, 3) RGB frame to JPEG. Writes at most out_cap bytes into
+// out; returns the encoded size, or -1 on failure / insufficient capacity.
+// Used by the MJPEG/AVI video writer (no ffmpeg in the deploy image).
+long vh_encode_jpeg(const uint8_t* rgb, int w, int h, int quality,
+                    uint8_t* out, size_t out_cap) {
+    jpeg_compress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    unsigned char* mem = nullptr;
+    unsigned long mem_size = 0;
+    if (setjmp(jerr.jump)) {
+        jpeg_destroy_compress(&cinfo);
+        if (mem) free(mem);
+        return -1;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, &mem, &mem_size);
+    cinfo.image_width = w;
+    cinfo.image_height = h;
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    jpeg_start_compress(&cinfo, TRUE);
+    while (cinfo.next_scanline < cinfo.image_height) {
+        JSAMPROW row = const_cast<uint8_t*>(rgb) +
+                       static_cast<size_t>(cinfo.next_scanline) * w * 3;
+        jpeg_write_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    long size = static_cast<long>(mem_size);
+    if (static_cast<size_t>(size) > out_cap) {
+        free(mem);
+        return -1;
+    }
+    std::memcpy(out, mem, mem_size);
+    free(mem);
+    return size;
+}
+
 // Decode n JPEG buffers and write (n, dh, dw, 3) float32 frames, threaded.
 int vh_process_jpeg_batch(const uint8_t** bufs, const size_t* lens, int n,
                           float* dst, int dw, int dh, int threads) {

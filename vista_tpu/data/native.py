@@ -42,8 +42,35 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
     ]
+    if hasattr(lib, "vh_encode_jpeg"):  # older builds of the .so lack it
+        lib.vh_encode_jpeg.restype = ctypes.c_long
+        lib.vh_encode_jpeg.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ]
     _LIB = lib
     return _LIB
+
+
+def encode_jpeg_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "vh_encode_jpeg")
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """8-bit HWC RGB -> JPEG bytes (libjpeg, off the GIL)."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "vh_encode_jpeg")
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    cap = w * h * 3 + 65536
+    out = np.empty((cap,), np.uint8)
+    size = lib.vh_encode_jpeg(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, quality,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if size < 0:
+        raise IOError("JPEG encode failed")
+    return out[:size].tobytes()
 
 
 def available() -> bool:

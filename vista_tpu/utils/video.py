@@ -21,11 +21,74 @@ def _to_uint8(frames: np.ndarray, real: bool = False) -> np.ndarray:
     return (np.clip(frames, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
-def save_video_mp4(path: str, frames: np.ndarray, fps: int = 10, real: bool = False) -> str:
-    """Write ``(t, h, w, 3)`` frames to mp4 at the reference's 10 fps.
+def _encode_jpeg(frame: np.ndarray, quality: int = 90) -> bytes:
+    """One RGB frame -> JPEG bytes: native libjpeg when built, else PIL."""
+    from vista_tpu.data import native
 
-    Falls back to an animated GIF when no ffmpeg backend is installed
-    (returns the path actually written)."""
+    if native.encode_jpeg_available():
+        return native.encode_jpeg(frame, quality)
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(frame).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def save_video_avi_mjpeg(path: str, frames: np.ndarray, fps: int = 10,
+                         real: bool = False, quality: int = 90) -> str:
+    """Write ``(t, h, w, 3)`` frames as a Motion-JPEG AVI.
+
+    A self-contained RIFF muxer — the deploy image has no ffmpeg, and
+    MJPEG-in-AVI plays everywhere while compressing ~20x better than GIF.
+    """
+    import struct
+
+    data = _to_uint8(frames, real)
+    n, h, w, _ = data.shape
+    jpegs = [_encode_jpeg(f, quality) for f in data]
+    max_size = max(len(j) for j in jpegs)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, max_size * fps, 0,
+                       0x10,  # AVIF_HASINDEX
+                       n, 0, 1, max_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, n, max_size, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_payload = b""
+    index = b""
+    for j in jpegs:
+        offset = 4 + len(movi_payload)  # relative to the 'movi' fourcc
+        movi_payload += chunk(b"00dc", j)
+        index += b"00dc" + struct.pack("<III", 0x10, offset, len(j))
+    movi = lst(b"movi", movi_payload)
+    idx1 = chunk(b"idx1", index)
+
+    riff_payload = b"AVI " + hdrl + movi + idx1
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload)
+    return path
+
+
+def save_video_mp4(path: str, frames: np.ndarray, fps: int = 10, real: bool = False) -> str:
+    """Write ``(t, h, w, 3)`` frames as a video at the reference's 10 fps.
+
+    Tries mp4 via imageio/ffmpeg; without an ffmpeg backend (this deploy
+    image) writes a Motion-JPEG AVI instead (returns the path written)."""
     import imageio
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -36,9 +99,8 @@ def save_video_mp4(path: str, frames: np.ndarray, fps: int = 10, real: bool = Fa
                 w.append_data(f)
         return path
     except Exception:
-        gif_path = os.path.splitext(path)[0] + ".gif"
-        imageio.mimwrite(gif_path, list(data), duration=1000.0 / fps, loop=0)
-        return gif_path
+        avi_path = os.path.splitext(path)[0] + ".avi"
+        return save_video_avi_mjpeg(avi_path, data, fps=fps)
 
 
 def save_frames_png(dirpath: str, frames: np.ndarray, prefix: str = "frame",
