@@ -100,8 +100,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(i_k == pl.num_programs(2) - 1)
     def _finalize():
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
-        # per-row logsumexp, the backward residual
-        lse_ref[0] = (m_scr[:, 0] + jnp.log(l_scr[:, 0]))
+        # per-row logsumexp, the backward residual ((block_q, 1) lane layout:
+        # TPU blocks need the last dim divisible by 128 OR equal to the
+        # array dim, so the lse array carries a trailing singleton)
+        lse_ref[0] = m_scr[:, :1] + jnp.log(l_scr[:, :1])
 
 
 def _flash_fwd_3d(
@@ -136,11 +138,11 @@ def _flash_fwd_3d(
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq_p, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -157,6 +159,7 @@ def _flash_fwd_3d(
         ),
         interpret=interpret,
     )(q, k, v)
+    lse = lse[..., 0]
     if pad_q:
         out, lse = out[:, :s_q], lse[:, :s_q]
     return out, lse
@@ -171,19 +174,19 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, dq_scr,
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    lse = lse_ref[0]  # (block_q,)
-    dd = dd_ref[0]    # (block_q,) rowsum(dO * O)
+    lse = lse_ref[0]  # (block_q, 1)
+    dd = dd_ref[0]    # (block_q, 1) rowsum(dO * O)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    p = jnp.exp(s - lse[:, None])
+    p = jnp.exp(s - lse)
     col = i_k * block_k + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
     p = jnp.where(col < kv_len, p, 0.0)
 
     dp = jax.lax.dot_general(  # dO V^T: (block_q, block_k)
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - dd[:, None]) * scale
+    ds = p * (dp - dd) * scale
     dq_scr[:] += jax.lax.dot_general(  # dS K: (block_q, d)
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -204,13 +207,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    lse = lse_ref[0]
-    dd = dd_ref[0]
+    lse = lse_ref[0]  # (block_q, 1)
+    dd = dd_ref[0]    # (block_q, 1)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    p = jnp.exp(s - lse[:, None])  # (block_q, block_k)
+    p = jnp.exp(s - lse)  # (block_q, block_k)
     col = (pl.program_id(1) * block_k
            + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1))
     p = jnp.where(col < kv_len, p, 0.0)
@@ -222,7 +225,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref,
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - dd[:, None]) * scale
+    ds = p * (dp - dd) * scale
     dk_scr[:] += jax.lax.dot_general(  # dS^T Q: (block_k, d)
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -276,8 +279,10 @@ def _bwd(residuals, g):
     scale = d ** -0.5
     interpret = jax.default_backend() != "tpu"
 
-    # D_i = rowsum(dO * O) — cheap elementwise reduce, leave it to XLA
+    # D_i = rowsum(dO * O) — cheap elementwise reduce, leave it to XLA.
+    # lse/dd carry a trailing singleton lane dim for the TPU block layout.
     dd = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    lse3, dd3 = lse[..., None], dd[..., None]
 
     block_q = _pick_block(s_q, _BLOCK_Q)
     block_k = _pick_block(s_k, _BLOCK_K)
@@ -286,7 +291,7 @@ def _bwd(residuals, g):
     if pad_q:
         pq = ((0, 0), (0, pad_q), (0, 0))
         qt, do = jnp.pad(qt, pq), jnp.pad(do, pq)
-        lse, dd = jnp.pad(lse, ((0, 0), (0, pad_q))), jnp.pad(dd, ((0, 0), (0, pad_q)))
+        lse3, dd3 = jnp.pad(lse3, pq), jnp.pad(dd3, pq)
     if pad_k:
         pk = ((0, 0), (0, pad_k), (0, 0))
         kt, vt = jnp.pad(kt, pk), jnp.pad(vt, pk)
@@ -295,7 +300,7 @@ def _bwd(residuals, g):
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda b_, i, j: (b_, i, 0))
     kv_spec_j = pl.BlockSpec((1, block_k, d), lambda b_, i, j: (b_, j, 0))
-    row_spec = pl.BlockSpec((1, block_q), lambda b_, i, j: (b_, i))
+    row_spec = pl.BlockSpec((1, block_q, 1), lambda b_, i, j: (b_, i, 0))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=s_k, block_k=block_k),
@@ -311,12 +316,12 @@ def _bwd(residuals, g):
             bytes_accessed=2 * bh * (2 * sq_p + 2 * sk_p) * d * qt.dtype.itemsize,
             transcendentals=bh * sq_p * sk_p),
         interpret=interpret,
-    )(qt, kt, vt, do, lse, dd)
+    )(qt, kt, vt, do, lse3, dd3)
 
     # dK/dV: iterate q blocks innermost, k blocks parallel
     q_spec_i = pl.BlockSpec((1, block_q, d), lambda b_, j, i: (b_, i, 0))
     kv_spec = pl.BlockSpec((1, block_k, d), lambda b_, j, i: (b_, j, 0))
-    row_spec_i = pl.BlockSpec((1, block_q), lambda b_, j, i: (b_, i))
+    row_spec_i = pl.BlockSpec((1, block_q, 1), lambda b_, j, i: (b_, i, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=s_k, block_k=block_k),
         grid=(bh, n_k, n_q),
@@ -333,7 +338,7 @@ def _bwd(residuals, g):
             bytes_accessed=2 * bh * (2 * sq_p + 2 * sk_p) * d * qt.dtype.itemsize,
             transcendentals=bh * sq_p * sk_p),
         interpret=interpret,
-    )(qt, kt, vt, do, lse, dd)
+    )(qt, kt, vt, do, lse3, dd3)
 
     dq = dq[:, :s_q] if pad_q else dq
     dk = dk[:, :s_k] if pad_k else dk
