@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vista_tpu.models.layers import GroupNorm32, conv, dense
+from vista_tpu.models.layers import GroupNorm32, conv
+from vista_tpu.ops.attention import attention_packed
 
 Array = jnp.ndarray
 
@@ -73,9 +74,16 @@ class VAEResnetBlock(nn.Module):
 
 
 class VAEAttnBlock(nn.Module):
-    """Single-head full self-attention over the spatial tokens (mid-block)."""
+    """Single-head full self-attention over the spatial tokens (mid-block).
+
+    Backend note: XLA's softmax fusion streams the (chunk, 9216, 9216)
+    logits without materializing them, and the Pallas flash path's row-major
+    operand constraints force (chunk, 9216, 512) relayout copies that pushed
+    the 576x1024 decode over the 16 GB HBM budget (measured) — so this stays
+    on the XLA path."""
 
     dtype: jnp.dtype = jnp.bfloat16
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -84,10 +92,8 @@ class VAEAttnBlock(nn.Module):
         q = conv(c, 1, dtype=self.dtype, name="q")(y).reshape(b, h * w, c)
         k = conv(c, 1, dtype=self.dtype, name="k")(y).reshape(b, h * w, c)
         v = conv(c, 1, dtype=self.dtype, name="v")(y).reshape(b, h * w, c)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits * (c**-0.5), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", probs, v).reshape(b, h, w, c)
-        out = conv(c, 1, dtype=self.dtype, name="proj_out")(out)
+        out = attention_packed(q, k, v, num_heads=1, backend=self.backend)
+        out = conv(c, 1, dtype=self.dtype, name="proj_out")(out.reshape(b, h, w, c))
         return x + out
 
 

@@ -43,6 +43,49 @@ def _xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     return out.transpose(0, 2, 1, 3)
 
 
+def resolve_backend(backend: str) -> str:
+    """'auto' -> pallas on TPU, xla elsewhere (interpret-mode Pallas on CPU
+    is only for small-shape tests; golden-parity tests must stay fast)."""
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
+def attention_packed(
+    q: Array,
+    k: Array,
+    v: Array,
+    num_heads: int,
+    backend: str = "xla",
+    causal: bool = False,
+) -> Array:
+    """Multi-head attention on packed ``(batch, seq, heads*head_dim)``
+    tensors — the dense projections' natural layout. The Pallas kernels
+    consume this layout directly (no head split/merge relayouts, which are
+    real copies on TPU); the XLA fallback reshapes internally.
+
+    Dispatch (backend="pallas"): tiny sequences (the t=25 temporal
+    attention) go to the fused tiny-seq kernel; long sequences (spatial
+    h*w tokens) to the flash kernel; everything else to XLA.
+    """
+    b, s_q, hd = q.shape
+    s_k = k.shape[1]
+    d = hd // num_heads
+    backend = resolve_backend(backend)
+    if backend == "pallas" and not causal:
+        from vista_tpu.ops.flash_attention import flash_attention_packed, flash_shape_supported
+        from vista_tpu.ops.tiny_attention import tiny_attention_packed, tiny_shape_supported
+
+        if tiny_shape_supported(s_q, s_k):
+            return tiny_attention_packed(q, k, v, num_heads)
+        if flash_shape_supported((b, s_q, num_heads, d), (b, s_k, num_heads, d)):
+            return flash_attention_packed(q, k, v, num_heads)
+    out = dot_product_attention(
+        q.reshape(b, s_q, num_heads, d), k.reshape(b, s_k, num_heads, d),
+        v.reshape(b, s_k, num_heads, d), backend="xla", causal=causal)
+    return out.reshape(b, s_q, hd)
+
+
 def dot_product_attention(
     q: Array,
     k: Array,
