@@ -199,6 +199,81 @@ class GEGLUFeedForward(nn.Module):
         return dense(self.dim_out, dtype=self.dtype, name="proj_out")(h)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder matching ``nn.Dense``'s param tree exactly."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_dim, self.out_dim), jnp.float32)
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+        return kernel, bias
+
+
+class _LNScope(nn.Module):
+    """``LayerNorm``-shaped param holder (<name>/ln/{scale,bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNParams(self.features, name="ln")()
+
+
+class _SelfAttnParams(nn.Module):
+    """``CrossAttention``(self, no adapters)-shaped param holder."""
+
+    dim: int
+    inner: int
+
+    @nn.compact
+    def __call__(self):
+        wq, _ = _DenseParams(self.dim, self.inner, use_bias=False, name="to_q")()
+        wk, _ = _DenseParams(self.dim, self.inner, use_bias=False, name="to_k")()
+        wv, _ = _DenseParams(self.dim, self.inner, use_bias=False, name="to_v")()
+        wo, bo = _DenseParams(self.inner, self.dim, name="to_out")()
+        return wq, wk, wv, wo, bo
+
+
+class _FFParams(nn.Module):
+    """``GEGLUFeedForward``-shaped param holder."""
+
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        inner = self.dim * self.mult
+        w1, b1 = _DenseParams(self.dim, inner * 2, name="proj_in")()
+        w2, b2 = _DenseParams(inner, self.dim, name="proj_out")()
+        return w1, b1, w2, b2
+
+
+def pre_ln_geglu_ff(x: Array, dim: int, dtype, ln_name: str, ff_name: str,
+                    backend: str) -> Array:
+    """``x + FF(LN(x))`` — fused single-pass Pallas kernel on TPU (the
+    2*4*c-wide proj_in output otherwise round-trips HBM between the two
+    dots, ~6ms per ds1-sized FF), module composition elsewhere. Must be
+    called inside a ``@nn.compact`` body; both paths declare identical
+    param trees (<ln_name>/ln/*, <ff_name>/proj_{in,out}/*)."""
+    from vista_tpu.ops.attention import resolve_backend
+    from vista_tpu.ops.fused_ff import ff_input_supported, fused_geglu_ff
+
+    c = x.shape[-1]
+    if resolve_backend(backend) == "pallas" and ff_input_supported(x.shape) and dim == c:
+        ln_s, ln_b = _LNScope(c, name=ln_name)()
+        w1, b1, w2, b2 = _FFParams(dim, name=ff_name)()
+        return fused_geglu_ff(x, ln_s, ln_b, w1, b1, w2, b2)
+    return x + GEGLUFeedForward(dim, dtype=dtype, name=ff_name)(
+        LayerNorm(name=ln_name)(x))
+
+
 class TransformerBlock(nn.Module):
     """Spatial block: pre-LN self-attn -> cross-attn(context) -> GEGLU FF."""
 
@@ -222,7 +297,7 @@ class TransformerBlock(nn.Module):
             add_lora=self.add_lora, action_control=self.action_control,
             backend=self.backend, dtype=self.dtype, name="attn2",
         )(LayerNorm(name="norm2")(x), context=context)
-        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        x = pre_ln_geglu_ff(x, self.dim, self.dtype, "norm3", "ff", self.backend)
         return x
 
 
@@ -242,18 +317,41 @@ class _TemporalCore(nn.Module):
     action_control: bool = False
     backend: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
+    # real frame count when x carries sublane-padded frame slots
+    valid_t: Optional[int] = None
 
     @nn.compact
     def __call__(self, carry, inputs):
         x, time_context = inputs
         if self.ff_in:
-            x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff_in")(
-                LayerNorm(name="norm_in")(x))
+            x = pre_ln_geglu_ff(x, self.dim, self.dtype, "norm_in", "ff_in",
+                                self.backend)
 
-        x = x + CrossAttention(
-            self.heads, self.dim_head, self.dim, context_dim=None, add_lora=self.add_lora,
-            backend=self.backend, dtype=self.dtype, name="attn1",
-        )(LayerNorm(name="norm1")(x))
+        from vista_tpu.ops.attention import resolve_backend
+        from vista_tpu.ops.fused_temporal_attn import (
+            fused_temporal_attn_supported,
+            fused_temporal_self_attn,
+        )
+
+        inner = self.heads * self.dim_head
+        if (resolve_backend(self.backend) == "pallas" and not self.add_lora
+                and x.ndim == 3
+                and fused_temporal_attn_supported(x.shape[1], self.dim, inner)):
+            # one-pass LN + qkv + attention-over-t + out-proj + residual;
+            # param tree identical to the composed path below. x may carry
+            # sublane-padded frame slots (TemporalTransformerBlock pads
+            # t=25 -> 32); valid_t masks their keys.
+            ln_s, ln_b = _LNScope(self.dim, name="norm1")()
+            wq, wk, wv, wo, bo = _SelfAttnParams(self.dim, inner, name="attn1")()
+            x = fused_temporal_self_attn(x, ln_s, ln_b, wq, wk, wv, wo, bo,
+                                         self.heads,
+                                         self.valid_t or x.shape[1])
+        else:
+            x = x + CrossAttention(
+                self.heads, self.dim_head, self.dim, context_dim=None,
+                add_lora=self.add_lora, backend=self.backend, dtype=self.dtype,
+                name="attn1",
+            )(LayerNorm(name="norm1")(x))
 
         if time_context is not None or self.context_dim is not None:
             x = x + CrossAttention(
@@ -262,7 +360,7 @@ class _TemporalCore(nn.Module):
                 backend=self.backend, dtype=self.dtype, name="attn2",
             )(LayerNorm(name="norm2")(x), context=time_context)
 
-        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        x = pre_ln_geglu_ff(x, self.dim, self.dtype, "norm3", "ff", self.backend)
         return carry, x
 
 
@@ -298,6 +396,24 @@ class TemporalTransformerBlock(nn.Module):
         # (b t) s c -> (b s) t c
         x = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
 
+        # sublane-align the frame axis for the fused attn1 kernel: t=25 pads
+        # to 32 physically anyway, so the explicit pad costs no real compute
+        # and makes every in-kernel reshape a legal aligned shape cast. Only
+        # when attn1 will actually take the fused path (its softmax masks the
+        # pad keys; the composed fallback would attend to garbage).
+        from vista_tpu.ops.attention import resolve_backend
+        from vista_tpu.ops.fused_temporal_attn import fused_temporal_attn_supported
+
+        inner = self.heads * self.dim_head
+        t_pad = 0
+        if resolve_backend(self.backend) == "pallas" and not self.add_lora:
+            t_aligned = num_frames + ((-num_frames) % 8)
+            if (fused_temporal_attn_supported(t_aligned, self.dim, inner)
+                    and t_aligned != num_frames):
+                t_pad = t_aligned - num_frames
+                x = jnp.pad(x, ((0, 0), (0, t_pad), (0, 0)))
+        t_run = num_frames + t_pad
+
         rows = b * s
         n_chunks = 1
         if time_context is not None:
@@ -315,10 +431,11 @@ class TemporalTransformerBlock(nn.Module):
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             context_dim=self.context_dim, ff_in=self.ff_in, add_lora=self.add_lora,
             action_control=self.action_control, backend=self.backend, dtype=self.dtype,
+            valid_t=num_frames,
         )
         if n_chunks > 1:
             chunk = rows // n_chunks
-            xs = x.reshape(n_chunks, chunk, num_frames, c)
+            xs = x.reshape(n_chunks, chunk, t_run, c)
             tcs = time_context.reshape(n_chunks, chunk, *time_context.shape[1:])
             ScanCore = nn.scan(
                 _TemporalCore,
@@ -327,10 +444,12 @@ class TemporalTransformerBlock(nn.Module):
                 in_axes=0, out_axes=0,
             )
             _, x = ScanCore(**core_kwargs, name="core")(0, (xs, tcs))
-            x = x.reshape(rows, num_frames, c)
+            x = x.reshape(rows, t_run, c)
         else:
             _, x = _TemporalCore(**core_kwargs, name="core")(0, (x, time_context))
 
+        if t_pad:
+            x = x[:, :num_frames]
         # (b s) t c -> (b t) s c
         x = x.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(bt, s, c)
         return x

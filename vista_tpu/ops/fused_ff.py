@@ -1,0 +1,174 @@
+"""Fused pre-LN GEGLU feed-forward Pallas kernel (x + FF(LN(x))).
+
+Every transformer block ends with ``x = x + proj_out(geglu(proj_in(LN(x))))``
+(reference attention.py:48-72,424-524). On XLA the 2*4*c-wide ``proj_in``
+output is a dot result and must materialize in HBM before the ``proj_out``
+dot consumes it — at 576x1024 that's a 2.4 GB round trip per FF, plus the
+LN pass and the residual pass (~6 ms per ds1-sized FF, ~45 FF sites per
+denoise eval; tools/xprof.py).
+
+This kernel keeps the whole chain in VMEM per token tile: LN (fp32 stats)
+-> proj_in matmul -> split + GEGLU -> proj_out matmul -> residual
+add. Both weight matrices stay VMEM-resident across grid steps. HBM
+traffic: 1 read + 1 write of x. Gated to c <= 768 (ds1/ds2 widths — at
+c = 1280 the proj_in weights alone are 26 MB and the savings are small).
+
+Inputs must flatten to (tokens, c) layout-free: callers with a
+sublane-unaligned middle dim (the temporal stack's t=25) pad it to 32 first
+(TemporalTransformerBlock) — the hardware tiles 25 -> 32 physically anyway,
+so explicit padding adds no real compute and keeps every reshape aligned
+(Mosaic rejects unaligned shape casts).
+
+Backward: XLA-recompute VJP (exact math, standard remat cost).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+MAX_FUSED_FF_DIM = 768
+
+
+def ff_shape_supported(c: int) -> bool:
+    return c <= MAX_FUSED_FF_DIM and c % 8 == 0
+
+
+def ff_input_supported(shape) -> bool:
+    """All leading-dim merges must be sublane-aligned (free reshapes)."""
+    return (ff_shape_supported(shape[-1])
+            and all(d % 8 == 0 for d in shape[1:-1]))
+
+
+def _gelu_tanh(g):
+    """tanh-form GELU (fp32). Mosaic has no erf primitive; the tanh form's
+    max absolute error vs exact GELU (~3e-4) is far below the bf16 output
+    quantization (~8e-3 relative) of the compute dtype, so it is
+    indistinguishable from ``nn.gelu(approximate=False)`` at bf16."""
+    return 0.5 * g * (1.0 + jnp.tanh(0.7978845608028654 * (g + 0.044715 * g * g * g)))
+
+
+def _ff_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+               eps: float, inner: int):
+    x2 = x_ref[...]  # (tile, C)
+    c = x2.shape[-1]
+
+    xf = x2.astype(jnp.float32)
+    mean = jnp.sum(xf, axis=-1, keepdims=True) / c
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) / c - mean * mean
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps) * lns_ref[...]
+          + lnb_ref[...]).astype(x2.dtype)
+
+    h = jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    a, g = h[:, :inner], h[:, inner:]
+    hg = (a * _gelu_tanh(g)).astype(x2.dtype)
+
+    y = jax.lax.dot_general(
+        hg, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[...]
+    o_ref[...] = (xf + y).astype(o_ref.dtype)
+
+
+def _xla_reference(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
+    c = x.shape[-1]
+    inner = w2.shape[0]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps) * ln_s + ln_b).astype(x.dtype)
+    # same tanh-form GELU as the kernel (the VJP differentiates this exact fn)
+    h = (xn @ w1.astype(x.dtype)).astype(jnp.float32) + b1
+    a, g = h[..., :inner], h[..., inner:]
+    hg = (a * _gelu_tanh(g)).astype(x.dtype)
+    y = (hg @ w2.astype(x.dtype)).astype(jnp.float32) + b2
+    return (xf + y).astype(x.dtype)
+
+
+def _tile_rows(rows: int, target: int) -> int:
+    t = 1
+    best = 1
+    while t <= target:
+        if rows % t == 0:
+            best = t
+        t *= 2
+    return best
+
+
+def _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
+    orig_shape = x.shape
+    c = x.shape[-1]
+    inner = w2.shape[0]
+
+    # the flatten must be layout-free: callers guarantee sublane-aligned
+    # middle dims (ff_input_supported); unaligned merges are Mosaic-illegal
+    # shape casts AND real HBM relayouts
+    n = x.size // c
+    x_in = x.reshape(n, c)
+
+    # ~8MB budget for the widest live transient, (tokens, 2*inner) fp32
+    target = max((1 << 23) // max(2 * inner * 4, 1), 1)
+    tile = _tile_rows(n, target)
+    n_p = n
+
+    blk = (tile, c)
+    idx = lambda i: (i, 0)
+    wide = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+
+    w1c = w1.astype(x.dtype)
+    w2c = w2.astype(x.dtype)
+    out = pl.pallas_call(
+        functools.partial(_ff_kernel, eps=eps, inner=inner),
+        grid=(n_p // tile,),
+        in_specs=[
+            pl.BlockSpec(blk, idx),
+            wide((1, c)), wide((1, c)),
+            wide((c, 2 * inner)), wide((1, 2 * inner)),
+            wide((inner, c)), wide((1, c)),
+        ],
+        out_specs=pl.BlockSpec(blk, idx),
+        out_shape=jax.ShapeDtypeStruct(x_in.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_p * c * 4 * inner + 10 * n_p * c,
+            bytes_accessed=2 * n_p * c * x.dtype.itemsize,
+            transcendentals=n_p * inner,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x_in,
+      ln_s.astype(jnp.float32).reshape(1, c), ln_b.astype(jnp.float32).reshape(1, c),
+      w1c, b1.astype(jnp.float32).reshape(1, 2 * inner),
+      w2c, b2.astype(jnp.float32).reshape(1, c))
+    return out.reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_geglu_ff(x: Array, ln_s: Array, ln_b: Array, w1: Array, b1: Array,
+                   w2: Array, b2: Array, eps: float = 1e-5) -> Array:
+    """``x + proj_out(geglu(proj_in(LN(x))))`` in one VMEM-resident pass."""
+    return _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps)
+
+
+def _vjp_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
+    return _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps), (x, ln_s, ln_b, w1, b1, w2, b2)
+
+
+def _vjp_bwd(eps, residuals, g):
+    x, ln_s, ln_b, w1, b1, w2, b2 = residuals
+    _, vjp = jax.vjp(
+        lambda *a: _xla_reference(*a, eps=eps), x, ln_s, ln_b, w1, b1, w2, b2)
+    return vjp(g)
+
+
+fused_geglu_ff.defvjp(_vjp_fwd, _vjp_bwd)

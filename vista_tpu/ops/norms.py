@@ -54,52 +54,72 @@ def _row_tile(s: int, c: int) -> int:
 
 
 def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
-    xf = x_ref[:].astype(jnp.float32)  # (tile, C)
-    c = xf.shape[1]
-    mean = jnp.sum(xf, axis=1, keepdims=True) / c
-    var = jnp.sum(xf * xf, axis=1, keepdims=True) / c - mean * mean
+    xf = x_ref[...].astype(jnp.float32)  # (tile, C) or (tile, M, C)
+    c = xf.shape[-1]
+    mean = jnp.sum(xf, axis=-1, keepdims=True) / c
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) / c - mean * mean
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    o_ref[:] = (y * g_ref[:] + b_ref[:]).astype(o_ref.dtype)
+    o_ref[...] = (y * g_ref[...] + b_ref[...]).astype(o_ref.dtype)
 
 
 def layer_norm(x: Array, gamma: Array, beta: Array, eps: float = 1e-5) -> Array:
-    """Row LayerNorm over the minor dim with fp32 stats; 1 read + 1 write."""
+    """Row LayerNorm over the minor dim with fp32 stats; 1 read + 1 write.
+
+    Shape-preserving and reshape-free: a rank-3 input (e.g. the temporal
+    stack's ``(b*s, t, c)`` with t=25) is tiled over its leading dim
+    directly — flattening it first would be a real relayout copy on TPU
+    because the middle dim is sublane-padded (25 -> 32)."""
     orig_shape = x.shape
     c = x.shape[-1]
-    rows = x.size // c
-    x2 = x.reshape(rows, c)
+    if x.ndim == 3 and x.shape[1] * c <= 4 * _TILE_ELEMS:
+        rows, mid = x.shape[0], x.shape[1]
+        x_in = x
+        block = lambda tile: (tile, mid, c)
+        param_block = (1, 1, c)
+        param_shape = (1, 1, c)
+        per_row = mid * c
+    else:
+        rows = x.size // c
+        mid = 1
+        x_in = x.reshape(rows, c)
+        block = lambda tile: (tile, c)
+        param_block = (1, c)
+        param_shape = (1, c)
+        per_row = c
 
-    tile = _row_tile(rows, c)
+    tile = _row_tile(rows, per_row)
     pad = 0
     if tile == 0 or rows % tile:
-        tile = min(max(_TILE_ELEMS // max(c, 1), 8), rows) if tile == 0 else tile
+        tile = min(max(_TILE_ELEMS // max(per_row, 1), 8), rows) if tile == 0 else tile
         pad = (-rows) % tile
-        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        x_in = jnp.pad(x_in, ((0, pad),) + ((0, 0),) * (x_in.ndim - 1))
     n_tiles = (rows + pad) // tile
 
-    g2 = gamma.astype(jnp.float32).reshape(1, c)
-    b2 = beta.astype(jnp.float32).reshape(1, c)
+    g2 = gamma.astype(jnp.float32).reshape(param_shape)
+    b2 = beta.astype(jnp.float32).reshape(param_shape)
+    zero_tail = (lambda t: (t, 0, 0)) if x_in.ndim == 3 else (lambda t: (t, 0))
+    param_map = (lambda t: (0, 0, 0)) if x_in.ndim == 3 else (lambda t: (0, 0))
 
     out = pl.pallas_call(
         functools.partial(_ln_kernel, eps=eps),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tile, c), lambda t: (t, 0)),
-            pl.BlockSpec((1, c), lambda t: (0, 0)),
-            pl.BlockSpec((1, c), lambda t: (0, 0)),
+            pl.BlockSpec(block(tile), zero_tail),
+            pl.BlockSpec(param_block, param_map),
+            pl.BlockSpec(param_block, param_map),
         ],
-        out_specs=pl.BlockSpec((tile, c), lambda t: (t, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows + pad, c), x.dtype),
+        out_specs=pl.BlockSpec(block(tile), zero_tail),
+        out_shape=jax.ShapeDtypeStruct(x_in.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * (rows + pad) * c,
-            bytes_accessed=2 * (rows + pad) * c * x.dtype.itemsize,
+            flops=8 * (rows + pad) * per_row,
+            bytes_accessed=2 * (rows + pad) * per_row * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x2, g2, b2)
+    )(x_in, g2, b2)
     if pad:
         out = out[:rows]
     return out.reshape(orig_shape)
