@@ -71,7 +71,11 @@ def layer_norm(x: Array, gamma: Array, beta: Array, eps: float = 1e-5) -> Array:
     because the middle dim is sublane-padded (25 -> 32)."""
     orig_shape = x.shape
     c = x.shape[-1]
-    if x.ndim == 3 and x.shape[1] * c <= 4 * _TILE_ELEMS:
+    # rank-3 only when the (rows, mid, c) -> (rows*mid, c) flatten would be a
+    # real relayout (sublane-unaligned mid). Aligned mids flatten for free and
+    # the 2-D path tiles much tighter (the 3-D block is all-of-mid per tile,
+    # which blows scoped VMEM at e.g. (50, 576, 1280)).
+    if x.ndim == 3 and x.shape[1] % 8 != 0 and x.shape[1] * c <= 4 * _TILE_ELEMS:
         rows, mid = x.shape[0], x.shape[1]
         x_in = x
         block = lambda tile: (tile, mid, c)
@@ -112,6 +116,8 @@ def layer_norm(x: Array, gamma: Array, beta: Array, eps: float = 1e-5) -> Array:
         out_shape=jax.ShapeDtypeStruct(x_in.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # fp32 stat transients exceed the default scoped limit on wide blocks
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * (rows + pad) * per_row,
