@@ -274,6 +274,34 @@ def pre_ln_geglu_ff(x: Array, dim: int, dtype, ln_name: str, ff_name: str,
         LayerNorm(name=ln_name)(x))
 
 
+def pre_ln_self_attention(x: Array, heads: int, dim_head: int, dim: int,
+                          dtype, add_lora: bool, ln_name: str, attn_name: str,
+                          backend: str) -> Array:
+    """``x + to_out(attn(to_qkv(LN(x))))`` — the q/k/v projections run as a
+    single fused LN+QKV Pallas pass (1 read of x, VMEM-resident weights, no
+    LN materialization) feeding the packed-layout attention kernel. Falls
+    back to module composition off-TPU / with LoRA. Must be called inside a
+    ``@nn.compact`` body; both paths declare identical param trees
+    (<ln_name>/ln/*, <attn_name>/to_{q,k,v,out}/*)."""
+    from vista_tpu.ops.attention import attention_packed, resolve_backend
+    from vista_tpu.ops.fused_qkv import fused_ln_qkv, qkv_input_supported
+
+    inner = heads * dim_head
+    c = x.shape[-1]
+    if (resolve_backend(backend) == "pallas" and not add_lora and dim == c
+            and qkv_input_supported(x.shape, inner)):
+        ln_s, ln_b = _LNScope(c, name=ln_name)()
+        wq, wk, wv, wo, bo = _SelfAttnParams(c, inner, name=attn_name)()
+        q, k, v = fused_ln_qkv(x, ln_s, ln_b, wq, wk, wv)
+        o = attention_packed(q, k, v, heads, backend=backend)
+        y = o @ wo.astype(o.dtype) + bo.astype(o.dtype)
+        return x + y
+    return x + CrossAttention(
+        heads, dim_head, dim, context_dim=None, add_lora=add_lora,
+        backend=backend, dtype=dtype, name=attn_name,
+    )(LayerNorm(name=ln_name)(x))
+
+
 class TransformerBlock(nn.Module):
     """Spatial block: pre-LN self-attn -> cross-attn(context) -> GEGLU FF."""
 
@@ -288,10 +316,9 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
-        x = x + CrossAttention(
-            self.heads, self.dim_head, self.dim, context_dim=None, add_lora=self.add_lora,
-            backend=self.backend, dtype=self.dtype, name="attn1",
-        )(LayerNorm(name="norm1")(x))
+        x = pre_ln_self_attention(
+            x, self.heads, self.dim_head, self.dim, self.dtype, self.add_lora,
+            "norm1", "attn1", self.backend)
         x = x + CrossAttention(
             self.heads, self.dim_head, self.dim, context_dim=self.context_dim,
             add_lora=self.add_lora, action_control=self.action_control,

@@ -10,8 +10,9 @@ denoise eval; tools/xprof.py).
 This kernel keeps the whole chain in VMEM per token tile: LN (fp32 stats)
 -> proj_in matmul -> split + GEGLU -> proj_out matmul -> residual
 add. Both weight matrices stay VMEM-resident across grid steps. HBM
-traffic: 1 read + 1 write of x. Gated to c <= 768 (ds1/ds2 widths — at
-c = 1280 the proj_in weights alone are 26 MB and the savings are small).
+traffic: 1 read + 1 write of x. Covers all UNet widths (c <= 1280; at
+c=1280 the 39MB of weights still fit VMEM and measured 7.5x over the
+composed XLA path at 28800 tokens).
 
 Inputs must flatten to (tokens, c) layout-free: callers with a
 sublane-unaligned middle dim (the temporal stack's t=25) pad it to 32 first
@@ -34,7 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 _VMEM_LIMIT = 100 * 1024 * 1024
-MAX_FUSED_FF_DIM = 768
+# c=1280 measured 7.5x faster fused than composed-XLA in isolation (69ms ->
+# 9.3ms at 28800 tokens; weights 39MB stay VMEM-resident, h never hits HBM)
+MAX_FUSED_FF_DIM = 1280
 
 
 def ff_shape_supported(c: int) -> bool:
