@@ -25,7 +25,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-MAX_TINY_SEQ = 64
+# covers the temporal t=25 workload AND the mid-resolution spatial
+# attentions (ds4 s=576, mid s=144 at 576x1024) that fall between this
+# kernel and the flash crossover (2048) — XLA ran those at ~58ms/eval.
+# One (t, t) fp32 logit tile per unrolled head must fit the VMEM stack:
+# 576^2*4 = 1.33MB/head is fine, 1024^2 would not be at 20 heads.
+MAX_TINY_SEQ = 576
 # headroom for the unrolled per-head fp32 logit transients (see
 # flash_attention._VMEM_LIMIT)
 _VMEM_LIMIT = 100 * 1024 * 1024
