@@ -1,0 +1,86 @@
+"""Multi-chip inference: frame-sharded sampling equals single-device sampling.
+
+Runs the tiny engine's full sampling program jitted over an 8-virtual-device
+CPU mesh with the frame axis sharded (engine.jit_sample_sharded) and checks
+the latents match the unsharded program. Counterpart of SURVEY.md §2.8 /
+§5.7 (the reference has no multi-GPU inference path at all).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vista_tpu.diffusion.guidance import GuiderConfig
+from vista_tpu.diffusion.sampler import SamplerConfig
+from vista_tpu.engine.engine import EngineConfig, VistaEngine
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4+ virtual devices (conftest forces cpu x8)")
+    # the sharded frame axis must divide over the mesh (tiny engine: t=4)
+    return jax.sharding.Mesh(np.array(devs[:4]).reshape(4), ("data",))
+
+
+@pytest.fixture(scope="module")
+def engine_and_params():
+    cfg = EngineConfig().tiny()
+    engine = VistaEngine(cfg)
+    params = engine.init_params(jax.random.key(0), 64, 64)
+    return engine, params
+
+
+def _sampling_inputs(engine, height=64, width=64, seed=1):
+    cfg = engine.cfg
+    t = cfg.num_frames
+    f = cfg.vae.downsample_factor
+    hl, wl = height // f, width // f
+    zc = cfg.vae.z_channels
+    rng = np.random.RandomState(seed)
+    noise = jnp.asarray(rng.randn(t, hl, wl, zc), jnp.float32)
+    cond_frame = jnp.asarray(rng.randn(1, hl, wl, zc), jnp.float32)
+    concat = jnp.concatenate([cond_frame] + [jnp.zeros_like(cond_frame)] * (t - 1), 0)
+    ctx = jnp.asarray(rng.randn(1, 1, cfg.unet.context_dim), jnp.float32)
+    y = jnp.asarray(rng.randn(1, cfg.unet.adm_in_channels), jnp.float32)
+    cond = {"concat": concat, "crossattn": ctx, "vector": y}
+    uc = {"concat": concat, "crossattn": jnp.zeros_like(ctx), "vector": jnp.zeros_like(y)}
+    cond_frame_b = jnp.concatenate([cond_frame] * t, 0)
+    cond_mask = jnp.asarray([1.0] + [0.0] * (t - 1), jnp.float32)
+    return noise, cond, uc, cond_frame_b, cond_mask
+
+
+class TestShardedSampling:
+    def test_matches_single_device(self, mesh, engine_and_params):
+        engine, params = engine_and_params
+        sampler = SamplerConfig(
+            num_steps=2, guider=GuiderConfig(kind="triangle", scale=2.0,
+                                             num_frames=engine.cfg.num_frames))
+        noise, cond, uc, cf, cm = _sampling_inputs(engine)
+
+        ref = engine.jit_sample(sampler)(params, noise, cond, uc, cf, cm)
+        sharded_fn = engine.jit_sample_sharded(sampler, mesh)
+        out = sharded_fn(params, noise, cond, uc, cf, cm)
+
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_output_is_frame_sharded(self, mesh, engine_and_params):
+        engine, params = engine_and_params
+        sampler = SamplerConfig(num_steps=1, guider=GuiderConfig(kind="identity"))
+        noise, cond, uc, cf, cm = _sampling_inputs(engine, seed=2)
+        out = engine.jit_sample_sharded(sampler, mesh)(
+            params, noise, cond, None, cf, cm)
+        spec = out.sharding.spec
+        assert spec and spec[0] == "data", spec
+
+    def test_program_cached_across_calls(self, mesh, engine_and_params):
+        engine, params = engine_and_params
+        sampler = SamplerConfig(num_steps=1, guider=GuiderConfig(kind="identity"))
+        f1 = engine.jit_sample_sharded(sampler, mesh)
+        f2 = engine.jit_sample_sharded(sampler, mesh)
+        assert f1 is f2

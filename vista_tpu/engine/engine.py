@@ -116,6 +116,58 @@ class VistaEngine:
         return self._cached(("sample", sampler), lambda: jax.jit(
             lambda p, noise, c, uc, cf, cm: self.sample(p, noise, c, uc, cf, cm, sampler)))
 
+    def jit_sample_sharded(self, sampler: SamplerConfig, mesh, axis: str = "data"):
+        """Multi-chip sampling: the frame axis is sharded over ``mesh[axis]``,
+        params are replicated, and XLA's SPMD partitioner inserts the
+        collectives (all-to-alls at the spatial<->temporal rearranges,
+        all-gathers around single-chip custom kernels). The spatial stages
+        (convs, spatial attention) are embarrassingly frame-parallel; only
+        the temporal stages communicate, and those ride ICI.
+
+        Counterpart of the reference's lack of any multi-GPU inference story
+        (sample.py is single-device); scaling-book-style sharded inference
+        comes free from the mesh. Use the ``xla`` attention backend for
+        multi-chip runs — the Pallas kernels are single-chip specialists
+        that GSPMD must all-gather around. The frame-batch axis must divide
+        ``mesh.shape[axis]`` (25 frames CFG-doubled to 50: axes of 2/5/10/25
+        work; pjit rejects uneven shardings rather than silently padding,
+        which would corrupt temporal attention).
+        """
+        key = ("sample_sharded", sampler, mesh, axis)
+
+        def build():
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            frames = NamedSharding(mesh, P(axis))
+
+            def cond_spec(c):
+                # concat conditioning is per-frame; scalars/context per-video
+                return {k: frames if k == "concat" else repl for k in c}
+
+            def fn(p, noise, cond, uc, cf, cm):
+                return self.sample(p, noise, cond, uc, cf, cm, sampler)
+
+            jitted = {}  # one jit per argument-presence signature
+
+            def wrapper(p, noise, cond, uc, cf, cm):
+                sig = (tuple(sorted(cond)), None if uc is None else tuple(sorted(uc)),
+                       cf is None, cm is None)
+                if sig not in jitted:
+                    jitted[sig] = jax.jit(
+                        fn,
+                        in_shardings=(repl, frames, cond_spec(cond),
+                                      None if uc is None else cond_spec(uc),
+                                      None if cf is None else frames,
+                                      None if cm is None else frames),
+                        out_shardings=frames,
+                    )
+                return jitted[sig](p, noise, cond, uc, cf, cm)
+
+            return wrapper
+
+        return self._cached(key, build)
+
     # ---------------- init ----------------
 
     def init_params(self, key: jax.Array, height: int, width: int) -> Params:
