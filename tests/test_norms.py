@@ -59,3 +59,24 @@ class TestLayerNorm:
         p = m.init(jax.random.key(0), jnp.zeros((2, 8), jnp.bfloat16))
         assert set(p["params"].keys()) == {"ln"}
         assert set(p["params"]["ln"].keys()) == {"scale", "bias"}
+
+
+class TestLayerNormGrad:
+    def test_grads_match_xla(self):
+        # a raw pallas_call has no autodiff rule; the custom VJP must make
+        # layer_norm differentiable (TPU training goes through it)
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from vista_tpu.ops.norms import _layer_norm_xla, layer_norm
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 8, 16), jnp.float32)
+        g = jnp.asarray(rng.randn(16) * 0.2 + 1, jnp.float32)
+        b = jnp.asarray(rng.randn(16) * 0.1, jnp.float32)
+        ct = jnp.asarray(rng.randn(4, 8, 16), jnp.float32)
+
+        gr_f = jax.grad(lambda *a: jnp.sum(layer_norm(*a) * ct), argnums=(0, 1, 2))(x, g, b)
+        gr_r = jax.grad(lambda *a: jnp.sum(_layer_norm_xla(*a) * ct), argnums=(0, 1, 2))(x, g, b)
+        for a, r in zip(gr_f, gr_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5, rtol=2e-5)

@@ -1,0 +1,119 @@
+"""BASELINE config #5: training-step throughput on one chip (576x320-class).
+
+Measures the UNet forward+backward over the full diffusion loss (dynamics
+weighting + Fourier HF term, cond-mask choices) at phase-2-stage-1 scale
+(320x576, 25 frames) — the compute-dominant part of a training step, and the
+path that exercises the Pallas flash-attention BACKWARD kernels.
+
+Scope note (kept honest): fp32 Adam moments for the 1.5B-param UNet are
+~18 GB and do not fit one 16 GB v5e — the full optimizer step runs FSDP-
+sharded across >=2 chips (runner.Trainer / dryrun_multichip cover that
+path). Here params are bf16 and the optimizer update is excluded; the
+reference side (train.py, 8xA100 80GB) has no single-GPU counterpart at
+all. Reference: configs/training/vista_phase2_stage1.yaml, train.py:728-741.
+
+Usage: python tools/train_bench.py [--height 320 --width 576 --frames 25]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--width", type=int, default=576)
+    p.add_argument("--frames", type=int, default=25)
+    p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vista_tpu.diffusion.loss import LossConfig, diffusion_loss
+    from vista_tpu.diffusion.denoiser import precondition_denoise
+    from vista_tpu.models.unet import VideoUNet, VideoUNetConfig
+
+    ucfg = VideoUNetConfig(attn_backend=args.attn, remat=True)
+    unet = VideoUNet(ucfg)
+    t = args.frames
+    hl, wl = args.height // 8, args.width // 8
+    lat_c = ucfg.out_channels
+
+    x = jnp.zeros((t, hl, wl, lat_c), jnp.float32)
+    ctx = jnp.zeros((1, 1, ucfg.context_dim), jnp.float32)
+    y = jnp.zeros((1, ucfg.adm_in_channels), jnp.float32)
+
+    print("init (jitted)...", flush=True)
+    t0 = time.time()
+    concat0 = jnp.zeros((t, hl, wl, lat_c), jnp.float32)
+    params = jax.jit(unet.init, static_argnums=(6,))(
+        jax.random.key(0),
+        jnp.concatenate([x, concat0], axis=-1), jnp.zeros((t,)), ctx, y,
+        jnp.zeros((t,)), t)["params"]
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params)
+    n_params = sum(a.size for a in jax.tree.leaves(params))
+    print(f"  {time.time()-t0:.1f}s ({n_params/1e9:.2f}B params)", flush=True)
+
+    # phase-2 settings: dynamics-enhancement + HF loss on, cond-frame replacement
+    lcfg = LossConfig(num_frames=t, use_additional_loss=True,
+                      replace_cond_frames=True)
+
+    def network_fn(xin, c_noise, cond, cond_mask):
+        xa = jnp.concatenate([xin, cond["concat"].astype(xin.dtype)], axis=-1)
+        return unet.apply({"params": cond["_params"]}, xa, c_noise,
+                          cond["crossattn"], cond["vector"], cond_mask, t)
+
+    def loss_for(params, latents, cond, key):
+        cond = {**cond, "_params": params}
+        denoise = lambda xi, s, c, cm: precondition_denoise(network_fn, xi, s, c, cm)
+        loss, _ = diffusion_loss(denoise, latents, cond, key, lcfg)
+        return loss
+
+    grad_fn = jax.jit(jax.grad(loss_for))
+
+    latents = jax.random.normal(jax.random.key(1), (t, hl, wl, lat_c))
+    cond = {
+        "concat": jnp.concatenate(
+            [latents[:1]] + [jnp.zeros_like(latents[:1])] * (t - 1), 0),
+        "crossattn": jax.random.normal(jax.random.key(2), (1, 1, ucfg.context_dim)),
+        "vector": jax.random.normal(jax.random.key(3), (1, ucfg.adm_in_channels)),
+    }
+
+    print("compile fwd+bwd...", flush=True)
+    t0 = time.time()
+    g = grad_fn(params, latents, cond, jax.random.key(4))
+    jax.block_until_ready(g)
+    print(f"  {time.time()-t0:.1f}s", flush=True)
+
+    # fresh key per iter + scalar fetch (tunnel memoization)
+    summ = jax.jit(lambda p, z, c, k: sum(
+        jnp.sum(a.astype(jnp.float32)) for a in jax.tree.leaves(
+            jax.grad(loss_for)(p, z, c, k))))
+    float(summ(params, latents, cond, jax.random.key(5)))
+    times = []
+    for i in range(args.iters):
+        zi = latents + 0.001 * (i + 1)
+        t0 = time.perf_counter()
+        float(summ(params, zi, cond, jax.random.key(6 + i)))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    print(json.dumps({
+        "metric": f"train fwd+bwd steps/sec ({args.height}x{args.width}, "
+                  f"{t}f, full loss, bf16+remat)",
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/sec",
+        "sec_per_step": round(dt, 3),
+        "frames_per_sec": round(t / dt, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

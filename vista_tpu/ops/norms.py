@@ -62,13 +62,40 @@ def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
     o_ref[...] = (y * g_ref[...] + b_ref[...]).astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def layer_norm(x: Array, gamma: Array, beta: Array, eps: float = 1e-5) -> Array:
     """Row LayerNorm over the minor dim with fp32 stats; 1 read + 1 write.
 
     Shape-preserving and reshape-free: a rank-3 input (e.g. the temporal
     stack's ``(b*s, t, c)`` with t=25) is tiled over its leading dim
     directly — flattening it first would be a real relayout copy on TPU
-    because the middle dim is sublane-padded (25 -> 32)."""
+    because the middle dim is sublane-padded (25 -> 32).
+
+    Backward: XLA-recompute VJP (a raw pallas_call has no autodiff rule —
+    without this, any TPU training step through the pallas LN fails to
+    linearize)."""
+    return _layer_norm_fwd_impl(x, gamma, beta, eps)
+
+
+def _layer_norm_xla(x, gamma, beta, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
+
+
+def _layer_norm_vjp_fwd(x, gamma, beta, eps):
+    return _layer_norm_fwd_impl(x, gamma, beta, eps), (x, gamma, beta)
+
+
+def _layer_norm_vjp_bwd(eps, residuals, g):
+    x, gamma, beta = residuals
+    _, vjp = jax.vjp(lambda *a: _layer_norm_xla(*a, eps=eps), x, gamma, beta)
+    return vjp(g)
+
+
+def _layer_norm_fwd_impl(x: Array, gamma: Array, beta: Array, eps: float) -> Array:
     orig_shape = x.shape
     c = x.shape[-1]
     # rank-3 only when the (rows, mid, c) -> (rows*mid, c) flatten would be a
@@ -129,3 +156,6 @@ def layer_norm(x: Array, gamma: Array, beta: Array, eps: float = 1e-5) -> Array:
     if pad:
         out = out[:rows]
     return out.reshape(orig_shape)
+
+
+layer_norm.defvjp(_layer_norm_vjp_fwd, _layer_norm_vjp_bwd)
