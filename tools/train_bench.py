@@ -104,6 +104,16 @@ def main():
         t0 = time.perf_counter()
         float(summ(params, zi, cond, jax.random.key(6 + i)))
         times.append(time.perf_counter() - t0)
+    if os.environ.get("TRAIN_BENCH_PROFILE"):
+        import glob
+        logdir = "/tmp/vista_train_prof"
+        os.system(f"rm -rf {logdir}")
+        jax.profiler.start_trace(logdir)
+        float(summ(params, latents + 0.5, cond, jax.random.key(99)))
+        jax.profiler.stop_trace()
+        print("xplane:", glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True),
+              flush=True)
+
     dt = sorted(times)[len(times) // 2]
     print(json.dumps({
         "metric": f"train fwd+bwd steps/sec ({args.height}x{args.width}, "

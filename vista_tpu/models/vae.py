@@ -115,7 +115,12 @@ class VAEUpsample(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # nearest-2x as broadcast+reshape: identical to
+        # jax.image.resize(method="nearest") but lowers to a plain copy
+        # instead of a gather (the resize ran at ~348 GB/s in the decode
+        # profile — half of HBM peak)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (b, h, 2, w, 2, c)).reshape(b, h * 2, w * 2, c)
         return conv(c, 3, dtype=self.dtype, name="conv")(x)
 
 

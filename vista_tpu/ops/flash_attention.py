@@ -47,9 +47,11 @@ _LANES = 128
 _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
 
-# 1024x1024 measured 12% faster end-to-end than 512-blocks at 9216 tokens
-_BLOCK_Q = int(os.environ.get("VISTA_FLASH_BLOCK_Q", "1024"))
-_BLOCK_K = int(os.environ.get("VISTA_FLASH_BLOCK_K", "1024"))
+# headline-bench sweep: 1536x1536 > 1024x1024 (0.6118 vs 0.6097 f/s) >
+# 512x1024 (0.5981) at 9216 tokens; isolated-kernel sweeps DISAGREE with
+# in-model results here — trust only bench.py for block picks
+_BLOCK_Q = int(os.environ.get("VISTA_FLASH_BLOCK_Q", "1536"))
+_BLOCK_K = int(os.environ.get("VISTA_FLASH_BLOCK_K", "1536"))
 _BLOCK_BWD = int(os.environ.get("VISTA_FLASH_BLOCK_BWD", "512"))
 # the unrolled head loop keeps one fp32 logit tile per head on the Mosaic
 # stack; the 16MB default scoped-vmem limit is too small for 5 heads at
