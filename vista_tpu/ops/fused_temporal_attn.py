@@ -118,8 +118,10 @@ def _fwd(x, ln_s, ln_b, wq, wk, wv, wo, bo, num_heads, valid_t, eps):
     inner = wq.shape[1]
     d = inner // num_heads
 
-    # q/k/v/logit transients scale with g*t*inner; target ~6MB fp32
-    target = max((6 << 20) // max(t * inner * 4, 1), 1)
+    # q/k/v/logit transients scale with g*t*inner; 12MB target (g=256 at the
+    # UNet widths) measured 2.9x faster than 6MB/g=128 — the small-g grid is
+    # step-overhead-bound; beyond 12MB it's flat (78 GB/s)
+    target = max((12 << 20) // max(t * inner * 4, 1), 1)
     g = 1
     cand = 1
     while cand <= target:
