@@ -84,3 +84,29 @@ class TestShardedSampling:
         f1 = engine.jit_sample_sharded(sampler, mesh)
         f2 = engine.jit_sample_sharded(sampler, mesh)
         assert f1 is f2
+
+
+class TestShardedRollout:
+    def test_rollout_with_mesh_matches(self, mesh, engine_and_params):
+        """autoregressive_rollout(mesh=...) == single-device rollout."""
+        from vista_tpu.engine.rollout import RolloutConfig, autoregressive_rollout
+
+        engine, params = engine_and_params
+        t = engine.cfg.num_frames
+        rng = np.random.RandomState(7)
+        images = jnp.asarray(rng.randn(t, 64, 64, 3) * 0.2, jnp.float32)
+        batch = {"fps_id": jnp.array([9.0]), "motion_bucket_id": jnp.array([127.0]),
+                 "cond_aug": jnp.array([0.0])}
+        sampler = SamplerConfig(
+            num_steps=2, guider=GuiderConfig(kind="triangle", scale=2.0, num_frames=t))
+        rollout = RolloutConfig(num_rounds=2)
+
+        _, lat_ref = autoregressive_rollout(
+            engine, params, images, batch, sampler, rollout,
+            key=jax.random.key(1), decode_output=False)
+        _, lat_sh = autoregressive_rollout(
+            engine, params, images, batch, sampler, rollout,
+            key=jax.random.key(1), decode_output=False, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(lat_sh, np.float32),
+                                   np.asarray(lat_ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)

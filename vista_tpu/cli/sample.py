@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=23)
     p.add_argument("--fp32", action="store_true", help="run fp32 (CPU debugging)")
     p.add_argument("--tiny", action="store_true", help="tiny model (CPU smoke run)")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="shard the denoise rounds over this many devices "
+                        "(frame axis; n_frames must divide it; 0 = single device)")
     from vista_tpu.cli._common import add_platform_arg, force_platform
 
     add_platform_arg(p)
@@ -129,8 +132,18 @@ def main(argv=None):
     rollout = RolloutConfig(num_rounds=args.n_rounds,
                             initial_cond_indices=tuple(range(args.n_conds)))
 
+    mesh = None
+    if args.mesh_data:
+        devs = jax.devices()
+        if len(devs) < args.mesh_data:
+            raise SystemExit(f"--mesh-data {args.mesh_data}: only {len(devs)} devices")
+        if args.n_frames % args.mesh_data:
+            raise SystemExit(f"--mesh-data {args.mesh_data} must divide n_frames={args.n_frames}")
+        mesh = jax.sharding.Mesh(np.array(devs[: args.mesh_data]), ("data",))
+
     pixels, latents = autoregressive_rollout(
-        engine, params, images, batch, sampler, rollout, key=jax.random.key(args.seed))
+        engine, params, images, batch, sampler, rollout,
+        key=jax.random.key(args.seed), mesh=mesh)
     pixels = np.asarray(pixels)
 
     name = f"sample_{args.sample_index:06d}"

@@ -141,9 +141,12 @@ class VistaEngine:
             repl = NamedSharding(mesh, P())
             frames = NamedSharding(mesh, P(axis))
 
-            def cond_spec(c):
-                # concat conditioning is per-frame; scalars/context per-video
-                return {k: frames if k == "concat" else repl for k in c}
+            def cond_spec(c, n_frames):
+                # concat conditioning is sharded only when it is actually
+                # per-frame; the conditioner's per-video (batch-1) concat is
+                # replicated and broadcast inside network_fn
+                return {k: frames if (k == "concat" and v.shape[0] == n_frames)
+                        else repl for k, v in c.items()}
 
             def fn(p, noise, cond, uc, cf, cm):
                 return self.sample(p, noise, cond, uc, cf, cm, sampler)
@@ -151,13 +154,16 @@ class VistaEngine:
             jitted = {}  # one jit per argument-presence signature
 
             def wrapper(p, noise, cond, uc, cf, cm):
-                sig = (tuple(sorted(cond)), None if uc is None else tuple(sorted(uc)),
+                n = noise.shape[0]
+                sig = (tuple(sorted(cond)),
+                       None if uc is None else tuple(sorted(uc)),
+                       cond["concat"].shape[0] == n if "concat" in cond else None,
                        cf is None, cm is None)
                 if sig not in jitted:
                     jitted[sig] = jax.jit(
                         fn,
-                        in_shardings=(repl, frames, cond_spec(cond),
-                                      None if uc is None else cond_spec(uc),
+                        in_shardings=(repl, frames, cond_spec(cond, n),
+                                      None if uc is None else cond_spec(uc, n),
                                       None if cf is None else frames,
                                       None if cm is None else frames),
                         out_shardings=frames,
