@@ -78,6 +78,26 @@ class TestShardedSampling:
         spec = out.sharding.spec
         assert spec and spec[0] == "data", spec
 
+    def test_height_sharded_matches(self, mesh, engine_and_params):
+        """mode="height": the sequence-parallel layout (latent rows sharded,
+        conv halos + attention K/V gathers inserted by GSPMD) is exact."""
+        engine, params = engine_and_params
+        sampler = SamplerConfig(
+            num_steps=2, guider=GuiderConfig(kind="triangle", scale=2.0,
+                                             num_frames=engine.cfg.num_frames))
+        noise, cond, uc, cf, cm = _sampling_inputs(engine, seed=3)
+
+        ref = engine.jit_sample(sampler)(params, noise, cond, uc, cf, cm)
+        out = engine.jit_sample_sharded(sampler, mesh, mode="height")(
+            params, noise, cond, uc, cf, cm)
+
+        assert out.shape == ref.shape
+        spec = out.sharding.spec
+        assert len(spec) > 1 and spec[1] == "data", spec
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
     def test_program_cached_across_calls(self, mesh, engine_and_params):
         engine, params = engine_and_params
         sampler = SamplerConfig(num_steps=1, guider=GuiderConfig(kind="identity"))

@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--mesh-data", type=int, default=0,
                    help="shard the denoise rounds over this many devices "
                         "(frame axis; n_frames must divide it; 0 = single device)")
+    p.add_argument("--mesh-mode", default="frames", choices=["frames", "height"],
+                   help="sharded-denoise layout: frames (data-parallel over the "
+                        "video axis) or height (sequence-parallel latent rows)")
     from vista_tpu.cli._common import add_platform_arg, force_platform
 
     add_platform_arg(p)
@@ -137,13 +140,13 @@ def main(argv=None):
         devs = jax.devices()
         if len(devs) < args.mesh_data:
             raise SystemExit(f"--mesh-data {args.mesh_data}: only {len(devs)} devices")
-        if args.n_frames % args.mesh_data:
+        if args.mesh_mode == "frames" and args.n_frames % args.mesh_data:
             raise SystemExit(f"--mesh-data {args.mesh_data} must divide n_frames={args.n_frames}")
         mesh = jax.sharding.Mesh(np.array(devs[: args.mesh_data]), ("data",))
 
     pixels, latents = autoregressive_rollout(
         engine, params, images, batch, sampler, rollout,
-        key=jax.random.key(args.seed), mesh=mesh)
+        key=jax.random.key(args.seed), mesh=mesh, mesh_mode=args.mesh_mode)
     pixels = np.asarray(pixels)
 
     name = f"sample_{args.sample_index:06d}"

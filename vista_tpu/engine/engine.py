@@ -116,7 +116,8 @@ class VistaEngine:
         return self._cached(("sample", sampler), lambda: jax.jit(
             lambda p, noise, c, uc, cf, cm: self.sample(p, noise, c, uc, cf, cm, sampler)))
 
-    def jit_sample_sharded(self, sampler: SamplerConfig, mesh, axis: str = "data"):
+    def jit_sample_sharded(self, sampler: SamplerConfig, mesh, axis: str = "data",
+                           mode: str = "frames"):
         """Multi-chip sampling: the frame axis is sharded over ``mesh[axis]``,
         params are replicated, and XLA's SPMD partitioner inserts the
         collectives (all-to-alls at the spatial<->temporal rearranges,
@@ -132,16 +133,30 @@ class VistaEngine:
         ``mesh.shape[axis]`` (25 frames CFG-doubled to 50: axes of 2/5/10/25
         work; pjit rejects uneven shardings rather than silently padding,
         which would corrupt temporal attention).
+
+        ``mode="height"`` shards the latent *height* axis instead — the
+        sequence-parallel layout (SURVEY.md §5.7 / parallel/sp_attention.py,
+        here integrated into the full sampling program): convs get halo
+        exchanges, spatial attention keeps its query rows local and
+        all-gathers K/V, temporal attention is token-parallel for free.
+        Use when the frame axis is exhausted (more chips than CFG-doubled
+        frames) or when single-video latency matters more than throughput.
         """
-        key = ("sample_sharded", sampler, mesh, axis)
+        key = ("sample_sharded", sampler, mesh, axis, mode)
 
         def build():
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(mesh, P())
-            frames = NamedSharding(mesh, P(axis))
+            frames = NamedSharding(
+                mesh, P(axis) if mode == "frames" else P(None, axis))
 
             def cond_spec(c, n_frames):
+                if mode == "height":
+                    # every rank-4 (t-or-1, h, w, c) entry carries the height
+                    # shard; vectors/context replicate
+                    return {k: frames if v.ndim == 4 else repl
+                            for k, v in c.items()}
                 # concat conditioning is sharded only when it is actually
                 # per-frame; the conditioner's per-video (batch-1) concat is
                 # replicated and broadcast inside network_fn
@@ -165,7 +180,8 @@ class VistaEngine:
                         in_shardings=(repl, frames, cond_spec(cond, n),
                                       None if uc is None else cond_spec(uc, n),
                                       None if cf is None else frames,
-                                      None if cm is None else frames),
+                                      None if cm is None else
+                                      (repl if mode == "height" else frames)),
                         out_shardings=frames,
                     )
                 return jitted[sig](p, noise, cond, uc, cf, cm)

@@ -53,6 +53,7 @@ def autoregressive_rollout(
     key: Optional[jax.Array] = None,
     decode_output: bool = True,
     mesh=None,
+    mesh_mode: str = "frames",
 ) -> Tuple[Optional[Array], Array]:
     """Run ``num_rounds`` of prediction.
 
@@ -60,9 +61,11 @@ def autoregressive_rollout(
     batch: conditioning scalars/actions; ``cond_frames_without_noise`` /
       ``cond_frames`` are overwritten per round.
     mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis — the denoise
-      rounds then run frame-sharded across chips (engine.jit_sample_sharded;
-      ``num_frames`` must divide the axis size). Encode/conditioning/decode
-      stay replicated; XLA inserts the reshards at the stage boundaries.
+      rounds then run sharded across chips (engine.jit_sample_sharded;
+      ``mesh_mode="frames"`` shards the frame axis — ``num_frames`` must
+      divide the axis size — and ``"height"`` shards latent rows, the
+      sequence-parallel layout). Encode/conditioning/decode stay
+      replicated; XLA inserts the reshards at the stage boundaries.
     Returns ``(pixels or None, latents)`` with
     ``latents.shape[0] == num_rounds*(T-3)+3``.
     """
@@ -79,8 +82,8 @@ def autoregressive_rollout(
     cond_j = engine.jit_condition_pair(rollout.force_uc_zero)
     cond_skip_j = engine.jit_condition_pair(rollout.force_uc_zero, skip_encode=True)
     decode_j = engine.jit_decode()
-    run_round = (engine.jit_sample_sharded(sampler, mesh) if mesh is not None
-                 else engine.jit_sample(sampler))
+    run_round = (engine.jit_sample_sharded(sampler, mesh, mode=mesh_mode)
+                 if mesh is not None else engine.jit_sample(sampler))
 
     z = encode_j(params, images, k_enc)
 
