@@ -1,0 +1,98 @@
+"""Parity of the frame-major temporal conv kernel.
+
+Interpreter mode on CPU; compiled path runs on TPU in every VideoResBlock.
+Reference: the (3,1,1) Conv3d of vwm/modules/diffusionmodules/video_model.py
+(VideoResBlock time_stack) / util.py (AE3DConv).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vista_tpu.models.blocks import TemporalConv
+from vista_tpu.ops.temporal_conv import (
+    _xla_reference,
+    temporal_conv3,
+    temporal_conv3_supported,
+)
+
+
+def _make(b, t, s, cin, cout, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b * t, s, cin), dtype)
+    w = jnp.asarray(rng.randn(3, cin, cout) * (3 * cin) ** -0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(cout) * 0.05, jnp.float32)
+    return x, w, bias
+
+
+class TestTemporalConv3:
+    def test_matches_xla_reference(self):
+        x, w, b = _make(b=2, t=4, s=16, cin=16, cout=16)
+        out = temporal_conv3(x, w, b, 4)
+        ref = _xla_reference(x, w, b, 4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_video_boundaries_are_independent(self):
+        """SAME zero padding applies per video: changing video 0's frames
+        never leaks into video 1's output (the clamped neighbor block at the
+        boundary must be fully masked)."""
+        x, w, b = _make(b=2, t=4, s=8, cin=8, cout=8, seed=1)
+        base = np.asarray(temporal_conv3(x, w, b, 4))
+        x2 = x.at[:4].set(jnp.asarray(np.random.RandomState(2).randn(4, 8, 8),
+                                      x.dtype))
+        out2 = np.asarray(temporal_conv3(x2, w, b, 4))
+        np.testing.assert_allclose(out2[4:], base[4:], atol=1e-5, rtol=1e-5)
+        assert not np.allclose(out2[:4], base[:4])
+
+    def test_channel_change(self):
+        x, w, b = _make(b=1, t=3, s=8, cin=8, cout=24, seed=3)
+        out = temporal_conv3(x, w, b, 3)
+        ref = _xla_reference(x, w, b, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_grads_match_reference(self):
+        x, w, b = _make(b=1, t=4, s=8, cin=8, cout=8, seed=4)
+
+        def loss_k(x, w, b):
+            return jnp.sum(temporal_conv3(x, w, b, 4) ** 2)
+
+        def loss_r(x, w, b):
+            return jnp.sum(_xla_reference(x, w, b, 4) ** 2)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, w, b)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w, b)
+        for a, r in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_supported_gate(self):
+        assert temporal_conv3_supported(9216, 320, 320)
+        assert temporal_conv3_supported(144, 1280, 1280)
+        assert not temporal_conv3_supported(9215, 320, 320)
+
+
+class TestTemporalConvModule:
+    def test_params_match_nn_conv_layout(self):
+        mod = TemporalConv(8, (3, 1, 1))
+        ref = nn.Conv(8, kernel_size=(3, 1, 1), padding="SAME",
+                      dtype=jnp.bfloat16, param_dtype=jnp.float32)
+        x = jnp.zeros((1, 4, 2, 3, 8))
+        p1 = mod.init(jax.random.key(0), x)["params"]
+        p2 = ref.init(jax.random.key(0), x)["params"]
+        assert jax.tree.map(jnp.shape, p1) == jax.tree.map(jnp.shape, p2)
+
+    def test_xla_path_matches_nn_conv(self):
+        """The module's general path reproduces flax nn.Conv exactly
+        (golden-parity safety: same math, same params)."""
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(2, 4, 3, 5, 8), jnp.float32)
+        ref = nn.Conv(16, kernel_size=(3, 1, 1), padding="SAME",
+                      dtype=jnp.float32, param_dtype=jnp.float32)
+        params = ref.init(jax.random.key(1), x)
+        out_ref = ref.apply(params, x)
+        out = TemporalConv(16, (3, 1, 1), dtype=jnp.float32).apply(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                                   atol=1e-5, rtol=1e-5)

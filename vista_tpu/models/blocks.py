@@ -9,7 +9,7 @@ block followed by a temporal residual block whose conv has kernel
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,47 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class TemporalConv(nn.Module):
+    """Conv over the frame axis of ``(b, t, h, w, c)``.
+
+    Param layout is identical to ``nn.Conv`` (kernel ``(kt, kh, kw, cin,
+    cout)`` + bias) so checkpoint key maps are unchanged. On TPU the shipped
+    ``(3, 1, 1)`` kernel routes to the frame-major packed-matmul op
+    (``ops/temporal_conv.py``) — the XLA 3-D conv lays the CFG batch (2) on
+    the sublane axis and idles 3/4 of the MXU (measured 50 TF/s, ~95ms/eval
+    at 576x1024); the packed form runs one (M,c)x(c,3c) matmul + shift."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    dtype: jnp.dtype = jnp.bfloat16
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kt, kh, kw = self.kernel
+        b, t, h, w, cin = x.shape
+        k = self.param("kernel", self.kernel_init,
+                       (kt, kh, kw, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+
+        from vista_tpu.ops.temporal_conv import (temporal_conv3,
+                                                 temporal_conv3_supported)
+
+        if ((kt, kh, kw) == (3, 1, 1) and jax.default_backend() == "tpu"
+                and temporal_conv3_supported(h * w, cin, self.features)):
+            y = temporal_conv3(x.reshape(b * t, h * w, cin).astype(self.dtype),
+                               k.reshape(3, cin, self.features), bias, t)
+            return y.reshape(b, t, h, w, self.features)
+
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k.astype(self.dtype),
+            window_strides=(1, 1, 1), padding="SAME", dimension_numbers=dn)
+        return y + bias.astype(self.dtype)
+
+
 class TemporalResBlock(nn.Module):
     """Residual block convolving the frame axis: kernel ``(kt, kh, kw)`` on
     ``(b, t, h, w, c)``. Vista ships ``video_kernel_size = [3, 1, 1]``."""
@@ -63,8 +104,8 @@ class TemporalResBlock(nn.Module):
         # x: (b, t, h, w, c); emb: (b, t, emb_channels) or None
         h = GroupNorm32(name="in_norm")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, kernel_size=self.kernel, padding="SAME",
-                    dtype=self.dtype, param_dtype=jnp.float32, name="in_conv")(h)
+        h = TemporalConv(self.out_channels, self.kernel, dtype=self.dtype,
+                         name="in_conv")(h)
 
         if self.use_emb and emb is not None:
             e = dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
@@ -72,9 +113,8 @@ class TemporalResBlock(nn.Module):
 
         h = GroupNorm32(name="out_norm")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, kernel_size=self.kernel, padding="SAME",
-                    dtype=self.dtype, param_dtype=jnp.float32, name="out_conv",
-                    kernel_init=zero_init)(h)
+        h = TemporalConv(self.out_channels, self.kernel, dtype=self.dtype,
+                         name="out_conv", kernel_init=zero_init)(h)
         return x + h
 
 
