@@ -98,6 +98,25 @@ class TestShardedSampling:
                                    np.asarray(ref, np.float32),
                                    atol=2e-2, rtol=2e-2)
 
+    def test_weight_sharded_matches(self, mesh, engine_and_params):
+        """mode="weights": ZeRO-style sharded parameters (GSPMD all-gathers
+        each layer's weights) produce the single-device latents."""
+        engine, params = engine_and_params
+        sampler = SamplerConfig(
+            num_steps=2, guider=GuiderConfig(kind="triangle", scale=2.0,
+                                             num_frames=engine.cfg.num_frames))
+        noise, cond, uc, cf, cm = _sampling_inputs(engine, seed=4)
+
+        ref = engine.jit_sample(sampler)(params, noise, cond, uc, cf, cm)
+        out = engine.jit_sample_sharded(sampler, mesh, mode="weights",
+                                        fsdp_min_size=128)(
+            params, noise, cond, uc, cf, cm)
+
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
     def test_program_cached_across_calls(self, mesh, engine_and_params):
         engine, params = engine_and_params
         sampler = SamplerConfig(num_steps=1, guider=GuiderConfig(kind="identity"))

@@ -43,9 +43,11 @@ def main(argv=None):
     p.add_argument("--mesh-data", type=int, default=0,
                    help="shard the denoise rounds over this many devices "
                         "(frame axis; n_frames must divide it; 0 = single device)")
-    p.add_argument("--mesh-mode", default="frames", choices=["frames", "height"],
+    p.add_argument("--mesh-mode", default="frames",
+                   choices=["frames", "height", "weights"],
                    help="sharded-denoise layout: frames (data-parallel over the "
-                        "video axis) or height (sequence-parallel latent rows)")
+                        "video axis), height (sequence-parallel latent rows), or "
+                        "weights (ZeRO-style sharded params for HBM relief)")
     from vista_tpu.cli._common import add_platform_arg, force_platform
 
     add_platform_arg(p)

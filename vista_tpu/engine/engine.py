@@ -117,7 +117,7 @@ class VistaEngine:
             lambda p, noise, c, uc, cf, cm: self.sample(p, noise, c, uc, cf, cm, sampler)))
 
     def jit_sample_sharded(self, sampler: SamplerConfig, mesh, axis: str = "data",
-                           mode: str = "frames"):
+                           mode: str = "frames", fsdp_min_size: int = 2 ** 16):
         """Multi-chip sampling: the frame axis is sharded over ``mesh[axis]``,
         params are replicated, and XLA's SPMD partitioner inserts the
         collectives (all-to-alls at the spatial<->temporal rearranges,
@@ -141,17 +141,26 @@ class VistaEngine:
         all-gathers K/V, temporal attention is token-parallel for free.
         Use when the frame axis is exhausted (more chips than CFG-doubled
         frames) or when single-video latency matters more than throughput.
+
+        ``mode="weights"`` shards the *parameters* instead (each leaf's
+        largest divisible dim over ``mesh[axis]``, ``parallel/mesh.py``
+        fsdp rule; activations replicated, GSPMD all-gathers each layer's
+        weights just-in-time). This is ZeRO-style inference for serving a
+        model whose weights exceed one chip's HBM; compute does not scale.
         """
-        key = ("sample_sharded", sampler, mesh, axis, mode)
+        key = ("sample_sharded", sampler, mesh, axis, mode, fsdp_min_size)
 
         def build():
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(mesh, P())
             frames = NamedSharding(
-                mesh, P(axis) if mode == "frames" else P(None, axis))
+                mesh, P(axis) if mode == "frames"
+                else P(None, axis) if mode == "height" else P())
 
             def cond_spec(c, n_frames):
+                if mode == "weights":
+                    return {k: repl for k in c}
                 if mode == "height":
                     # every rank-4 (t-or-1, h, w, c) entry carries the height
                     # shard; vectors/context replicate
@@ -175,9 +184,18 @@ class VistaEngine:
                        cond["concat"].shape[0] == n if "concat" in cond else None,
                        cf is None, cm is None)
                 if sig not in jitted:
+                    if mode == "weights":
+                        from vista_tpu.parallel import fsdp_param_specs
+
+                        p_shard = jax.tree.map(
+                            lambda s: NamedSharding(mesh, s),
+                            fsdp_param_specs(p, mesh, axis=axis,
+                                             min_size=fsdp_min_size))
+                    else:
+                        p_shard = repl
                     jitted[sig] = jax.jit(
                         fn,
-                        in_shardings=(repl, frames, cond_spec(cond, n),
+                        in_shardings=(p_shard, frames, cond_spec(cond, n),
                                       None if uc is None else cond_spec(uc, n),
                                       None if cf is None else frames,
                                       None if cm is None else
