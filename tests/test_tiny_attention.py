@@ -43,6 +43,15 @@ class TestTinyAttention:
         assert tiny_shape_supported(25, 25)
         assert not tiny_shape_supported(25, 1)   # cross-attn, unequal seq
         assert not tiny_shape_supported(2304, 2304)
+        # mid-resolution spatial shapes routed to this kernel
+        assert tiny_shape_supported(576, 576, num_heads=20)  # ds4 @ 576x1024
+        assert tiny_shape_supported(720, 720, num_heads=10)  # ds2 @ 320x576
+        # logit transients of all unrolled heads must fit the VMEM stack
+        assert not tiny_shape_supported(1024, 1024, num_heads=20)
+
+    def test_ds2_spatial_shape(self):
+        # the 320x576 ds2 spatial attention (s=720, lane-unaligned logits)
+        self._check(rows=2, t=720, h=2, d=16)
 
     def test_grads_match_reference(self):
         rng = np.random.RandomState(1)

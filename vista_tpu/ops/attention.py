@@ -76,7 +76,7 @@ def attention_packed(
         from vista_tpu.ops.flash_attention import flash_attention_packed, flash_shape_supported
         from vista_tpu.ops.tiny_attention import tiny_attention_packed, tiny_shape_supported
 
-        if tiny_shape_supported(s_q, s_k):
+        if tiny_shape_supported(s_q, s_k, num_heads):
             return tiny_attention_packed(q, k, v, num_heads)
         if flash_shape_supported((b, s_q, num_heads, d), (b, s_k, num_heads, d)):
             return flash_attention_packed(q, k, v, num_heads)

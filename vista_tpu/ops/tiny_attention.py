@@ -26,18 +26,29 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 # covers the temporal t=25 workload AND the mid-resolution spatial
-# attentions (ds4 s=576, mid s=144 at 576x1024) that fall between this
-# kernel and the flash crossover (2048) — XLA ran those at ~58ms/eval.
-# One (t, t) fp32 logit tile per unrolled head must fit the VMEM stack:
-# 576^2*4 = 1.33MB/head is fine, 1024^2 would not be at 20 heads.
-MAX_TINY_SEQ = 576
+# attentions that fall between this kernel and the flash crossover (2048):
+# ds4 s=576 / mid s=144 at 576x1024, ds2 s=720 at 320x576 — XLA ran those
+# at ~58ms/eval (13-18x slower than this kernel at s=576).
+MAX_TINY_SEQ = 1024
 # headroom for the unrolled per-head fp32 logit transients (see
 # flash_attention._VMEM_LIMIT)
 _VMEM_LIMIT = 100 * 1024 * 1024
+# the unrolled head loop is straight-line code to Mosaic, so in the worst
+# case every head's (t, t) fp32 logit tile (lane-padded to 128) is live at
+# once on the VMEM stack; cap their sum well under _VMEM_LIMIT to leave room
+# for the q/k/v/o pipeline buffers
+_LOGIT_STACK_BUDGET = 64 * 1024 * 1024
 
 
-def tiny_shape_supported(s_q: int, s_k: int) -> bool:
-    return s_q == s_k and s_q <= MAX_TINY_SEQ
+def _pad128(n: int) -> int:
+    return (n + 127) // 128 * 128
+
+
+def tiny_shape_supported(s_q: int, s_k: int, num_heads: int = 1) -> bool:
+    if s_q != s_k or s_q > MAX_TINY_SEQ:
+        return False
+    logit_bytes = num_heads * s_q * _pad128(s_q) * 4
+    return logit_bytes <= _LOGIT_STACK_BUDGET
 
 
 def _pick_group(rows: int, t: int, hd: int) -> int:
@@ -117,7 +128,7 @@ def _xla_packed_reference(q: Array, k: Array, v: Array, num_heads: int) -> Array
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def tiny_attention_packed(q: Array, k: Array, v: Array, num_heads: int) -> Array:
-    """Fused attention on ``(rows, T, heads*d)`` with T <= 64 tokens."""
+    """Fused attention on ``(rows, T, heads*d)``; gate via tiny_shape_supported."""
     return _tiny_fwd(q, k, v, num_heads)
 
 
