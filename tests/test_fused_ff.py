@@ -83,6 +83,34 @@ class TestFusedGEGLU:
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                        atol=4e-2, rtol=4e-2)
 
+    def test_chunked_bwd_matches_unchunked(self, monkeypatch):
+        # full-res training OOMed on the unchunked fp32 recompute temps; the
+        # lax.map-chunked VJP must be numerically identical (row-independent
+        # math, only the dW reduction order differs)
+        import vista_tpu.ops.fused_ff as ff_mod
+
+        rng = np.random.RandomState(2)
+        c, inner = 16, 64
+        x = jnp.asarray(rng.randn(8, 8, c), jnp.float32)
+        args = (
+            jnp.asarray(rng.randn(c) * 0.2 + 1, jnp.float32),
+            jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(c, 2 * inner) * 0.2, jnp.float32),
+            jnp.asarray(rng.randn(2 * inner) * 0.05, jnp.float32),
+            jnp.asarray(rng.randn(inner, c) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(c) * 0.05, jnp.float32),
+        )
+        ct = jnp.asarray(rng.randn(8, 8, c), jnp.float32)
+        loss = lambda *a: jnp.sum(fused_geglu_ff(*a) * ct)
+
+        g_unchunked = jax.grad(loss, argnums=tuple(range(7)))(x, *args)
+        monkeypatch.setattr(ff_mod, "_BWD_TEMP_BYTES", 1)  # force max chunking
+        assert ff_mod._bwd_chunks(64, 2 * inner) > 1
+        g_chunked = jax.grad(loss, argnums=tuple(range(7)))(x, *args)
+        for gc, gu in zip(g_chunked, g_unchunked):
+            np.testing.assert_allclose(np.asarray(gc), np.asarray(gu),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_transformer_block_param_tree_stable(self):
         # the fused dispatch must keep the exact param paths of the module
         # composition (checkpoint/key-map compatibility)

@@ -77,8 +77,6 @@ def main():
         loss, _ = diffusion_loss(denoise, latents, cond, key, lcfg)
         return loss
 
-    grad_fn = jax.jit(jax.grad(loss_for))
-
     latents = jax.random.normal(jax.random.key(1), (t, hl, wl, lat_c))
     cond = {
         "concat": jnp.concatenate(
@@ -87,17 +85,19 @@ def main():
         "vector": jax.random.normal(jax.random.key(3), (1, ucfg.adm_in_channels)),
     }
 
-    print("compile fwd+bwd...", flush=True)
-    t0 = time.time()
-    g = grad_fn(params, latents, cond, jax.random.key(4))
-    jax.block_until_ready(g)
-    print(f"  {time.time()-t0:.1f}s", flush=True)
-
-    # fresh key per iter + scalar fetch (tunnel memoization)
+    # fresh key per iter + scalar fetch (tunnel memoization). The grad tree
+    # reduces to ONE scalar inside the program — materializing a full grad
+    # pytree output and holding it across calls costs 3 GB of HBM that the
+    # 576x1024 step needs (measured: it is the difference between fitting
+    # and ResourceExhausted on a 16 GB chip).
     summ = jax.jit(lambda p, z, c, k: sum(
         jnp.sum(a.astype(jnp.float32)) for a in jax.tree.leaves(
             jax.grad(loss_for)(p, z, c, k))))
+
+    print("compile fwd+bwd...", flush=True)
+    t0 = time.time()
     float(summ(params, latents, cond, jax.random.key(5)))
+    print(f"  {time.time()-t0:.1f}s", flush=True)
     times = []
     for i in range(args.iters):
         zi = latents + 0.001 * (i + 1)

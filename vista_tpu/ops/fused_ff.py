@@ -20,7 +20,12 @@ sublane-unaligned middle dim (the temporal stack's t=25) pad it to 32 first
 so explicit padding adds no real compute and keeps every reshape aligned
 (Mosaic rejects unaligned shape casts).
 
-Backward: XLA-recompute VJP (exact math, standard remat cost).
+Backward: XLA-recompute VJP (exact math, standard remat cost), chunked
+over the token axis — the FF is row-independent (LN over channels, per-token
+matmuls, elementwise GEGLU), so a serial ``lax.map`` over token chunks is
+exact while bounding the fp32 ``(rows, 2*inner)`` recompute temps (an
+unchunked recompute at 576x1024 materializes a 2.8 GB fp32 tensor, which
+OOMed the full-res single-chip train step).
 """
 
 from __future__ import annotations
@@ -168,11 +173,40 @@ def _vjp_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
     return _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps), (x, ln_s, ln_b, w1, b1, w2, b2)
 
 
+# cap the per-chunk fp32 (rows, 2*inner) backward recompute temp near this
+_BWD_TEMP_BYTES = 256 << 20
+
+
+def _bwd_chunks(n: int, inner2: int) -> int:
+    """Smallest power-of-2 chunk count (dividing n) that keeps the fp32
+    (rows, 2*inner) recompute temp under _BWD_TEMP_BYTES."""
+    target_rows = max(_BWD_TEMP_BYTES // (inner2 * 4), 1)
+    chunks = 1
+    while n % (chunks * 2) == 0 and n // chunks > target_rows:
+        chunks *= 2
+    return chunks
+
+
 def _vjp_bwd(eps, residuals, g):
     x, ln_s, ln_b, w1, b1, w2, b2 = residuals
-    _, vjp = jax.vjp(
-        lambda *a: _xla_reference(*a, eps=eps), x, ln_s, ln_b, w1, b1, w2, b2)
-    return vjp(g)
+    f = lambda *a: _xla_reference(*a, eps=eps)
+    c = x.shape[-1]
+    n = x.size // c
+    chunks = _bwd_chunks(n, w1.shape[-1])
+    if chunks == 1:
+        _, vjp = jax.vjp(f, x, ln_s, ln_b, w1, b1, w2, b2)
+        return vjp(g)
+
+    def one(args):
+        xc, gc = args
+        _, vjp = jax.vjp(f, xc, ln_s, ln_b, w1, b1, w2, b2)
+        return vjp(gc)
+
+    dx, *dps = jax.lax.map(
+        one, (x.reshape(chunks, n // chunks, c), g.reshape(chunks, n // chunks, c)))
+    # param grads sum over tokens; chunk partials accumulate in their own
+    # (fp32) dtype, only the reduction order differs from the unchunked vjp
+    return (dx.reshape(x.shape), *(dp.sum(axis=0) for dp in dps))
 
 
 fused_geglu_ff.defvjp(_vjp_fwd, _vjp_bwd)
