@@ -74,6 +74,33 @@ class TestFusedQKV:
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                        atol=2e-5, rtol=2e-5)
 
+    def test_chunked_bwd_matches_unchunked(self, monkeypatch):
+        # the lax.map-chunked VJP (full-res memory fix) must match the
+        # unchunked recompute exactly up to dW reduction order
+        import vista_tpu.ops.fused_qkv as qkv_mod
+
+        rng = np.random.RandomState(2)
+        c, inner = 16, 32
+        x = jnp.asarray(rng.randn(8, 8, c), jnp.float32)
+        ln_s = jnp.asarray(rng.randn(c) * 0.2 + 1, jnp.float32)
+        ln_b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        wq, wk, wv = (jnp.asarray(rng.randn(c, inner) * 0.2, jnp.float32)
+                      for _ in range(3))
+        cts = tuple(jnp.asarray(rng.randn(8, 8, inner), jnp.float32)
+                    for _ in range(3))
+
+        def f(*a):
+            q, k, v = fused_ln_qkv(*a)
+            return jnp.sum(q * cts[0]) + jnp.sum(k * cts[1]) + jnp.sum(v * cts[2])
+
+        g_unchunked = jax.grad(f, argnums=tuple(range(6)))(x, ln_s, ln_b, wq, wk, wv)
+        monkeypatch.setattr(qkv_mod, "_BWD_TEMP_BYTES", 1)  # force max chunking
+        assert qkv_mod._bwd_chunks(64, 3 * inner) > 1
+        g_chunked = jax.grad(f, argnums=tuple(range(6)))(x, ln_s, ln_b, wq, wk, wv)
+        for gc, gu in zip(g_chunked, g_unchunked):
+            np.testing.assert_allclose(np.asarray(gc), np.asarray(gu),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_transformer_block_fused_matches_composed(self):
         """Forcing the fused path (pallas/interpret) == composed (xla)."""
         dim, heads, dim_head = 32, 2, 16

@@ -11,7 +11,9 @@ VMEM, runs the three projections against VMEM-resident weights, and writes
 q, k, v — 1 read + 3 writes, no LN materialization, no weight re-reads.
 The flash kernel then consumes q/k/v in this exact packed row-major layout.
 
-Backward: XLA-recompute VJP (exact math, standard remat cost).
+Backward: XLA-recompute VJP (exact math, standard remat cost), chunked over
+the token axis like fused_ff — LN + per-token dots are row-independent, so
+a serial ``lax.map`` bounds the fp32 recompute temps at full-res trainings.
 """
 
 from __future__ import annotations
@@ -131,10 +133,45 @@ def _vjp_fwd(x, ln_s, ln_b, wq, wk, wv, eps):
     return _fwd(x, ln_s, ln_b, wq, wk, wv, eps), (x, ln_s, ln_b, wq, wk, wv)
 
 
+# cap the per-chunk fp32 backward recompute temps near this
+_BWD_TEMP_BYTES = 256 << 20
+
+
+def _bwd_chunks(n: int, width: int) -> int:
+    """Smallest power-of-2 chunk count (dividing n) keeping (rows, width)
+    fp32 temps under _BWD_TEMP_BYTES."""
+    target_rows = max(_BWD_TEMP_BYTES // (width * 4), 1)
+    chunks = 1
+    while n % (chunks * 2) == 0 and n // chunks > target_rows:
+        chunks *= 2
+    return chunks
+
+
 def _vjp_bwd(eps, residuals, g):
     x, ln_s, ln_b, wq, wk, wv = residuals
-    _, vjp = jax.vjp(lambda *a: _xla_reference(*a, eps=eps), x, ln_s, ln_b, wq, wk, wv)
-    return vjp(g)
+    f = lambda *a: _xla_reference(*a, eps=eps)
+    c = x.shape[-1]
+    inner = wq.shape[1]
+    n = x.size // c
+    # widest per-row temps: the fp32 xn recompute (c) / three dot grads (3*inner)
+    chunks = _bwd_chunks(n, max(c, 3 * inner))
+    if chunks == 1:
+        _, vjp = jax.vjp(f, x, ln_s, ln_b, wq, wk, wv)
+        return vjp(g)
+
+    gq, gk, gv = g
+    m = n // chunks
+
+    def one(args):
+        xc, gqc, gkc, gvc = args
+        _, vjp = jax.vjp(f, xc, ln_s, ln_b, wq, wk, wv)
+        return vjp((gqc, gkc, gvc))
+
+    dx, *dps = jax.lax.map(one, (
+        x.reshape(chunks, m, c), gq.reshape(chunks, m, inner),
+        gk.reshape(chunks, m, inner), gv.reshape(chunks, m, inner)))
+    # param grads sum over tokens; only the reduction order differs
+    return (dx.reshape(x.shape), *(dp.sum(axis=0) for dp in dps))
 
 
 fused_ln_qkv.defvjp(_vjp_fwd, _vjp_bwd)
