@@ -41,10 +41,12 @@ def baseline_fps(args) -> tuple:
     if args.baseline_json:
         with open(args.baseline_json) as f:
             payload = json.load(f)
+        want_action = "traj" if args.action_control else "free"
         for r in payload.get("results", []):
             if (r["height"] == args.height and r["width"] == args.width
                     and r["steps"] == args.steps and r["frames"] == args.frames
-                    and r.get("n_rounds", 1) == 1):
+                    and r.get("n_rounds", 1) == 1
+                    and r.get("action", "free") == want_action):
                 return r["fps"], f"measured:{payload.get('device', 'unknown')}"
     return baseline_estimate(args.height, args.width, args.steps), "analytic"
 

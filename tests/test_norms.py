@@ -37,8 +37,8 @@ class TestLayerNorm:
     def test_2d(self):
         self._check((64, 128))
 
-    def test_padded_rows(self):
-        # rows with no power-of-two divisor -> padding path
+    def test_odd_rows(self):
+        # odd rows + sublane-unaligned mid -> rank-3 path, single whole tile
         self._check((9, 7, 33))
 
     def test_fp32_passthrough_dtype(self):

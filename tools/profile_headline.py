@@ -101,9 +101,6 @@ def main():
     rows = [[c.get("v") for c in r["c"]] for r in table["table"]["rows"]]
     print("columns:", cols)
 
-    def col(name):
-        return cols.index(name)
-
     # typical columns: Type, Operation, #Occurrences, Total time (us),
     # Avg. time (us), Total self-time (us), ...
     self_col = next(i for i, c in enumerate(cols) if "self" in c.lower() and "us" in c.lower())
@@ -112,11 +109,11 @@ def main():
     host_col = next((i for i, c in enumerate(cols) if "host" in c.lower() and "self" in c.lower()), None)
 
     dev_rows = [r for r in rows if host_col is None or not r[host_col]]
-    total = sum(float(r[self_col] or 0) for r in rows)
-    rows.sort(key=lambda r: -float(r[self_col] or 0))
+    total = sum(float(r[self_col] or 0) for r in dev_rows)
+    dev_rows.sort(key=lambda r: -float(r[self_col] or 0))
     print(f"\ntotal self-time: {total/1e3:.1f} ms")
     print(f"{'self ms':>9} {'%':>5} {'n':>5}  op")
-    for r in rows[: args.top]:
+    for r in dev_rows[: args.top]:
         st = float(r[self_col] or 0)
         n = r[n_col] if n_col is not None else "?"
         print(f"{st/1e3:9.2f} {100*st/total:5.1f} {n:>5}  {str(r[op_col])[:110]}")

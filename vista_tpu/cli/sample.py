@@ -144,6 +144,9 @@ def main(argv=None):
             raise SystemExit(f"--mesh-data {args.mesh_data}: only {len(devs)} devices")
         if args.mesh_mode == "frames" and args.n_frames % args.mesh_data:
             raise SystemExit(f"--mesh-data {args.mesh_data} must divide n_frames={args.n_frames}")
+        if args.mesh_mode == "height" and (args.height // 8) % args.mesh_data:
+            raise SystemExit(f"--mesh-data {args.mesh_data} must divide the "
+                             f"latent height {args.height // 8}")
         mesh = jax.sharding.Mesh(np.array(devs[: args.mesh_data]), ("data",))
 
     pixels, latents = autoregressive_rollout(

@@ -129,10 +129,11 @@ class VistaEngine:
         (sample.py is single-device); scaling-book-style sharded inference
         comes free from the mesh. Use the ``xla`` attention backend for
         multi-chip runs — the Pallas kernels are single-chip specialists
-        that GSPMD must all-gather around. The frame-batch axis must divide
-        ``mesh.shape[axis]`` (25 frames CFG-doubled to 50: axes of 2/5/10/25
-        work; pjit rejects uneven shardings rather than silently padding,
-        which would corrupt temporal attention).
+        that GSPMD must all-gather around. ``mesh.shape[axis]`` must divide
+        the frame count itself — the (t, h, w, c) latents are the sharded
+        arrays (t=25: mesh axes of 5 or 25 work; pjit rejects uneven
+        shardings rather than silently padding, which would corrupt
+        temporal attention).
 
         ``mode="height"`` shards the latent *height* axis instead — the
         sequence-parallel layout (SURVEY.md §5.7 / parallel/sp_attention.py,

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vista_tpu.ops.tiling import bwd_chunks, tile_rows
+
 Array = jnp.ndarray
 
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -101,14 +103,7 @@ def _xla_reference(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
     return (xf + y).astype(x.dtype)
 
 
-def _tile_rows(rows: int, target: int) -> int:
-    t = 1
-    best = 1
-    while t <= target:
-        if rows % t == 0:
-            best = t
-        t *= 2
-    return best
+_tile_rows = tile_rows
 
 
 def _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
@@ -178,13 +173,7 @@ _BWD_TEMP_BYTES = 256 << 20
 
 
 def _bwd_chunks(n: int, inner2: int) -> int:
-    """Smallest power-of-2 chunk count (dividing n) that keeps the fp32
-    (rows, 2*inner) recompute temp under _BWD_TEMP_BYTES."""
-    target_rows = max(_BWD_TEMP_BYTES // (inner2 * 4), 1)
-    chunks = 1
-    while n % (chunks * 2) == 0 and n // chunks > target_rows:
-        chunks *= 2
-    return chunks
+    return bwd_chunks(n, inner2, _BWD_TEMP_BYTES)
 
 
 def _vjp_bwd(eps, residuals, g):

@@ -34,12 +34,12 @@ _TILE_ELEMS = 1 << 18
 
 
 def _row_tile(s: int, c: int) -> int:
-    """Largest divisor of ``s`` that is a power of two times <= target size
-    (or ``s`` itself when small). Returns 0 when no usable divisor exists."""
+    """Largest power-of-2 divisor of ``s`` under the VMEM target (or ``s``
+    itself when small). Always >= 1 (worst case: one row per grid step)."""
     target = max(_TILE_ELEMS // max(c, 1), 8)
     if s <= target:
         return s
-    best = 0
+    best = 1
     t = 1
     while t <= target:
         if s % t == 0:
@@ -118,13 +118,8 @@ def _layer_norm_fwd_impl(x: Array, gamma: Array, beta: Array, eps: float) -> Arr
         param_shape = (1, c)
         per_row = c
 
-    tile = _row_tile(rows, per_row)
-    pad = 0
-    if tile == 0 or rows % tile:
-        tile = min(max(_TILE_ELEMS // max(per_row, 1), 8), rows) if tile == 0 else tile
-        pad = (-rows) % tile
-        x_in = jnp.pad(x_in, ((0, pad),) + ((0, 0),) * (x_in.ndim - 1))
-    n_tiles = (rows + pad) // tile
+    tile = _row_tile(rows, per_row)  # a divisor of rows, always >= 1
+    n_tiles = rows // tile
 
     g2 = gamma.astype(jnp.float32).reshape(param_shape)
     b2 = beta.astype(jnp.float32).reshape(param_shape)
@@ -147,14 +142,12 @@ def _layer_norm_fwd_impl(x: Array, gamma: Array, beta: Array, eps: float) -> Arr
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * (rows + pad) * per_row,
-            bytes_accessed=2 * (rows + pad) * per_row * x.dtype.itemsize,
+            flops=8 * rows * per_row,
+            bytes_accessed=2 * rows * per_row * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
     )(x_in, g2, b2)
-    if pad:
-        out = out[:rows]
     return out.reshape(orig_shape)
 
 
