@@ -135,6 +135,28 @@ def torch_vae_kwargs(cfg):
 
 
 class TestVAEGoldenParity:
+    def test_linear_attn_block_matches(self):
+        # the make_attn "linear" option (model.py:138-144, attention.py:145-163)
+        from vista_tpu.models.vae import VAELinearAttnBlock
+
+        c = 32
+        torch.manual_seed(3)
+        tblk = REF.vae_model.LinAttnBlock(c).eval()
+        sd = {k: v.detach().numpy() for k, v in tblk.state_dict().items()}
+        params = {"params": {
+            "to_qkv": {"kernel": sd["to_qkv.weight"].transpose(2, 3, 1, 0)},
+            "to_out": {"kernel": sd["to_out.weight"].transpose(2, 3, 1, 0),
+                       "bias": sd["to_out.bias"]},
+        }}
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, c, 8, 8).astype(np.float32)
+        with torch.no_grad():
+            ref = tblk(torch.from_numpy(x)).numpy()
+        out = VAELinearAttnBlock(dtype=jnp.float32).apply(
+            params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                                   atol=2e-4, rtol=2e-3)
+
     def test_encoder_matches(self):
         cfg = tiny_vae_cfg()
         torch.manual_seed(1)

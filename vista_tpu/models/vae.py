@@ -40,6 +40,9 @@ class VAEConfig:
     video_kernel: Tuple[int, int, int] = (3, 1, 1)
     scale_factor: float = 0.18215
     dtype: str = "bfloat16"
+    # mid-block attention kind, the make_attn switch (reference
+    # model.py:244-271): "vanilla" (shipped) | "linear" | "none"
+    attn_type: str = "vanilla"
 
     @property
     def compute_dtype(self):
@@ -97,6 +100,42 @@ class VAEAttnBlock(nn.Module):
         return x + out
 
 
+class VAELinearAttnBlock(nn.Module):
+    """Single-head linear attention (reference LinAttnBlock,
+    model.py:138-144 -> attention.py:145-163): k-softmax over tokens,
+    ``out = (k_softmax vᵀ) q`` with 1x1 convs and NO residual add (the
+    reference block inherits LinearAttention.forward unchanged). Not in any
+    shipped config — kept for make_attn parity (``attn_type: linear``)."""
+
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        qkv = nn.Conv(3 * c, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="to_qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, c)
+        # (b, c, n) each, matching the reference's "b (qkv heads c) (h w)"
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1) for i in range(3))
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=-1).astype(self.dtype)
+        context = jnp.einsum("bdn,ben->bde", k, v)
+        out = jnp.einsum("bde,bdn->ben", context, q)
+        out = out.transpose(0, 2, 1).reshape(b, h, w, c)
+        return nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                       name="to_out")(out)
+
+
+def make_attn(attn_type: str, dtype, name: str):
+    """The reference's mid-block attention switch (model.py:244-271)."""
+    if attn_type == "vanilla":
+        return VAEAttnBlock(dtype=dtype, name=name)
+    if attn_type == "linear":
+        return VAELinearAttnBlock(dtype=dtype, name=name)
+    if attn_type == "none":
+        return lambda x: x
+    raise ValueError(f"attn_type `{attn_type}` unknown")
+
+
 class VAEDownsample(nn.Module):
     """Stride-2 conv with asymmetric (right/bottom) padding, torch-parity."""
 
@@ -141,7 +180,7 @@ class VAEEncoder(nn.Module):
             if level != len(cfg.ch_mult) - 1:
                 h = VAEDownsample(dtype=dtype, name=f"down_{level}_downsample")(h)
         h = VAEResnetBlock(h.shape[-1], dtype=dtype, name="mid_block_1")(h)
-        h = VAEAttnBlock(dtype=dtype, name="mid_attn_1")(h)
+        h = make_attn(cfg.attn_type, dtype, "mid_attn_1")(h)
         h = VAEResnetBlock(h.shape[-1], dtype=dtype, name="mid_block_2")(h)
         h = GroupNorm32(eps=1e-6, name="norm_out")(h)
         h = nn.silu(h)
@@ -162,7 +201,7 @@ class VAEDecoder(nn.Module):
         block_in = cfg.ch * cfg.ch_mult[-1]
         h = conv(block_in, 3, dtype=dtype, name="conv_in")(z)
         h = VAEResnetBlock(block_in, dtype=dtype, name="mid_block_1")(h)
-        h = VAEAttnBlock(dtype=dtype, name="mid_attn_1")(h)
+        h = make_attn(cfg.attn_type, dtype, "mid_attn_1")(h)
         h = VAEResnetBlock(block_in, dtype=dtype, name="mid_block_2")(h)
         for level in reversed(range(len(cfg.ch_mult))):
             ch = cfg.ch * cfg.ch_mult[level]
@@ -225,7 +264,7 @@ class VideoVAEDecoder(nn.Module):
         block_in = cfg.ch * cfg.ch_mult[-1]
         h = conv(block_in, 3, dtype=dtype, name="conv_in")(z)
         h = VideoResnetBlock(block_in, cfg.video_kernel, dtype=dtype, name="mid_block_1")(h, num_frames)
-        h = VAEAttnBlock(dtype=dtype, name="mid_attn_1")(h)
+        h = make_attn(cfg.attn_type, dtype, "mid_attn_1")(h)
         h = VideoResnetBlock(block_in, cfg.video_kernel, dtype=dtype, name="mid_block_2")(h, num_frames)
         for level in reversed(range(len(cfg.ch_mult))):
             ch = cfg.ch * cfg.ch_mult[level]
