@@ -279,6 +279,19 @@ class TestLoss:
         out = fourier_filter_highpass(x, mask)
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-5)
 
+    def test_fourier_filter_3d_removes_dc(self):
+        from vista_tpu.diffusion.loss import (
+            fourier_filter_highpass_3d,
+            fourier_highpass_mask_3d,
+        )
+
+        m = fourier_highpass_mask_3d(4, 16, 16)
+        assert m[2, 8, 8] == 0.0  # spatiotemporal DC masked
+        assert m[0, 0, 0] == 1.0  # highest freqs pass
+        x = jnp.ones((8, 16, 16, 4)) * 3.0  # (b*t) frame-major, pure DC
+        out = fourier_filter_highpass_3d(x, jnp.asarray(m), num_frames=4)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-5)
+
     def test_zero_error_gives_zero_loss(self):
         latents = jnp.asarray(np.random.RandomState(0).randn(8, 8, 8, 4), dtype=jnp.float32)
 

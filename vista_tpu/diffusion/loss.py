@@ -94,6 +94,33 @@ def fourier_filter_highpass(x: Array, mask: Array) -> Array:
     return jnp.fft.ifftn(x_freq, axes=(1, 2)).real.astype(x.dtype)
 
 
+def fourier_highpass_mask_3d(t: int, h: int, w: int, d_s: float = 0.25,
+                             d_t: float = 0.25) -> np.ndarray:
+    """Spatiotemporal counterpart of :func:`fourier_highpass_mask`
+    (reference util.py:46-74 fourier_filter_3d, scale=0 case): entry
+    (k, i, j) is 0 when ``(d_s/d_t (2k/T-1))^2 + (2i/H-1)^2 + (2j/W-1)^2
+    <= 2*d_s``."""
+    tt = ((d_s / d_t) * (2.0 * np.arange(t) / t - 1.0)) ** 2
+    ii = (2.0 * np.arange(h) / h - 1.0) ** 2
+    jj = (2.0 * np.arange(w) / w - 1.0) ** 2
+    d_square = tt[:, None, None] + ii[None, :, None] + jj[None, None, :]
+    return (d_square > 2.0 * d_s).astype(np.float32)
+
+
+def fourier_filter_highpass_3d(x: Array, mask: Array, num_frames: int) -> Array:
+    """3-D (t, h, w) high-pass over frame-major video ``((b t), h, w, c)``
+    — the reference's fourier_filter_3d with scale=0 (unused in shipped
+    configs, like its torch counterpart; kept for inventory parity)."""
+    bt, h, w, c = x.shape
+    x5 = x.reshape(bt // num_frames, num_frames, h, w, c).astype(jnp.complex64)
+    x_freq = jnp.fft.fftn(x5, axes=(1, 2, 3))
+    x_freq = jnp.fft.fftshift(x_freq, axes=(1, 2, 3))
+    x_freq = x_freq * mask[None, :, :, :, None]
+    x_freq = jnp.fft.ifftshift(x_freq, axes=(1, 2, 3))
+    out = jnp.fft.ifftn(x_freq, axes=(1, 2, 3)).real
+    return out.reshape(bt, h, w, c).astype(x.dtype)
+
+
 def _dynamics_weight(predict: Array, target: Array, num_frames: int, ord_: int) -> Array:
     """``1 + normalize(inter-frame difference error)`` weight map, shape of target."""
     bt, h, w, c = target.shape
