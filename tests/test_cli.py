@@ -47,11 +47,15 @@ class TestCLISmoke:
         assert r.returncode != 0
         assert "must divide the latent height" in r.stderr
 
-    def test_reward_tiny(self):
+    def test_reward_tiny(self, tmp_path):
         r = _run(["vista_tpu.cli.reward", "--tiny", "--n_steps", "2",
-                  "--ens_size", "2", "--platform", "cpu"])
+                  "--ens_size", "2", "--platform", "cpu",
+                  "--save", str(tmp_path)])
         assert r.returncode == 0, r.stderr[-2000:]
         assert "reward" in (r.stdout + r.stderr).lower()
+        # real inputs archived like the reference's reward.py:254-257
+        assert os.listdir(tmp_path / "real" / "videos")
+        assert os.listdir(tmp_path / "real" / "grids")
 
     def test_train_tiny_synthetic(self, tmp_path):
         logdir = tmp_path / "run"

@@ -15,6 +15,8 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser(description="vista_tpu reward estimator")
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--save", default=None,
+                   help="save the real inputs (reference reward.py:254-257)")
     p.add_argument("--anno", default=None)
     p.add_argument("--data-root", default="")
     p.add_argument("--action", default="traj", choices=["free", "traj", "cmd", "steer", "goal"])
@@ -97,6 +99,17 @@ def main(argv=None):
         guider=GuiderConfig(kind="vanilla", scale=args.cfg_scale, num_frames=args.n_frames))
     r = estimate_reward(engine, params, images, batch, sampler,
                         ensemble_size=args.ens_size, key=jax.random.key(args.seed))
+    if args.save:
+        # the reference saves only the "real" inputs for reward runs
+        # (reward.py:254-257) — the reward itself needs no decode
+        from vista_tpu.utils.video import save_grid_png, save_video_mp4
+
+        name = f"reward_{args.sample_index:06d}"
+        real = np.asarray(images)
+        save_video_mp4(os.path.join(args.save, "real", "videos", name + ".mp4"),
+                       real, real=True)
+        save_grid_png(os.path.join(args.save, "real", "grids", name + ".png"),
+                      real, real=True)
     print(json.dumps({"sample_index": args.sample_index, "reward": float(r)}))
 
 

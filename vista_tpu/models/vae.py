@@ -126,8 +126,10 @@ class VAELinearAttnBlock(nn.Module):
 
 
 def make_attn(attn_type: str, dtype, name: str):
-    """The reference's mid-block attention switch (model.py:244-271)."""
-    if attn_type == "vanilla":
+    """The reference's mid-block attention switch (model.py:244-271).
+    "vanilla" and "vanilla-xformers" are the same math there (SDPA vs
+    xformers memory-efficient kernels) and map to one block here."""
+    if attn_type in ("vanilla", "vanilla-xformers"):
         return VAEAttnBlock(dtype=dtype, name=name)
     if attn_type == "linear":
         return VAELinearAttnBlock(dtype=dtype, name=name)
