@@ -119,6 +119,28 @@ class TestNuScenesDataWiring:
         # the cycling action_mod yields multiple modalities across batches
         assert len(seen_actions) >= 2, f"only {seen_actions} emitted"
 
+    def test_process_index_decorrelates_streams(self, nusc_root):
+        # multi-host DP: each host must draw a distinct part of the global
+        # batch; identical per-process seeds would duplicate samples
+        anno_file, root = nusc_root
+        cfg = DataConfig(
+            sources=(SourceConfig(kind="nuscenes", anno_file=anno_file,
+                                  data_root=root),),
+            batch_size=1, num_threads=1, samples_per_epoch=16)
+
+        def stream(pidx):
+            pipe = build_pipeline(cfg, height=32, width=64, num_frames=4,
+                                  process_index=pidx)
+            out = [b["frames"] for b in pipe]
+            pipe.stop()
+            return out
+
+        a0, a0b, a1 = stream(0), stream(0), stream(1)
+        for x, y in zip(a0, a0b):  # same process index -> deterministic
+            np.testing.assert_array_equal(x, y)
+        assert any(x.shape != y.shape or not np.array_equal(x, y)
+                   for x, y in zip(a0, a1)), "process 0 and 1 drew identical data"
+
     def test_unknown_source_kind_rejected(self):
         cfg = DataConfig(sources=(SourceConfig(kind="nope"),))
         with pytest.raises(ValueError):

@@ -41,9 +41,14 @@ def main(argv=None):
     cfg = load_config(ExperimentConfig, args.base, args.overrides)
 
     # real sources (youtube/nuscenes anno files) come from the config's
-    # `data:` section; --synthetic-data (or no sources) forces synthetic
+    # `data:` section; --synthetic-data (or no sources) forces synthetic.
+    # process_index decorrelates multi-host sampling streams (each host
+    # contributes a distinct local shard of the global batch).
+    import jax
+
     pipeline = build_pipeline(cfg.data, cfg.height, cfg.width,
-                              cfg.engine.num_frames, synthetic=args.synthetic_data)
+                              cfg.engine.num_frames, synthetic=args.synthetic_data,
+                              process_index=jax.process_index())
 
     init_params = None
     if args.ckpt:

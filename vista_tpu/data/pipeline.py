@@ -177,10 +177,15 @@ def build_pipeline(
     width: int,
     num_frames: int,
     synthetic: bool = False,
+    process_index: int = 0,
 ) -> "DataPipeline":
     """Construct datasets from typed source configs and wrap them in a
     prefetching pipeline. ``synthetic=True`` (or an empty source list)
-    forces the synthetic dataset so smoke runs always work."""
+    forces the synthetic dataset so smoke runs always work.
+
+    ``process_index`` decorrelates the sampling streams across multi-host
+    data-parallel processes (each host draws a distinct part of the global
+    batch; with a shared seed every host would load identical samples)."""
     from vista_tpu.data.datasets import (DatasetConfig, NuScenesDataset,
                                          SyntheticVideoDataset, YouTubeFramesDataset)
 
@@ -213,9 +218,11 @@ def build_pipeline(
             DatasetConfig(height=height, width=width, num_frames=num_frames),
             length=256)]
         probs = [1.0]
+    # distinct-but-deterministic stream per host process
+    seed = int(np.random.SeedSequence([cfg.seed, process_index]).generate_state(1)[0])
     sampler = MultiSourceSampler(
         datasets, probs=probs, samples_per_epoch=cfg.samples_per_epoch,
-        max_retries=cfg.max_retries, seed=cfg.seed)
+        max_retries=cfg.max_retries, seed=seed)
     return DataPipeline(sampler, PipelineConfig(
         batch_size=cfg.batch_size, prefetch=cfg.prefetch,
-        num_threads=cfg.num_threads, max_retries=cfg.max_retries, seed=cfg.seed))
+        num_threads=cfg.num_threads, max_retries=cfg.max_retries, seed=seed))
