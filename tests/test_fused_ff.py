@@ -53,6 +53,17 @@ class TestFusedGEGLU:
         assert not ff_shape_supported(2560)
         assert not ff_shape_supported(324)  # unaligned
 
+    def test_strip_pipelined_path_matches(self, monkeypatch):
+        # strips > 1 reorders proj_in columns strip-major and accumulates
+        # per-strip dot2 results; must be numerically equivalent (only fp32
+        # accumulation order differs). Lane alignment needs inner % 128 == 0.
+        import vista_tpu.ops.fused_ff as ff_mod
+
+        monkeypatch.setattr(ff_mod, "_FF_STRIPS", 2)
+        assert ff_mod._n_strips(256) == 2
+        assert ff_mod._n_strips(128) == 1   # s=64 would be lane-unaligned
+        self._check((2, 64, 64))            # inner = 256 -> 2 strips of 128
+
     def test_grads_match_module(self):
         rng = np.random.RandomState(1)
         c, inner = 16, 64

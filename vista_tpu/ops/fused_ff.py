@@ -31,6 +31,7 @@ OOMed the full-res single-chip train step).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,12 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 # c=1280 measured 7.5x faster fused than composed-XLA in isolation (69ms ->
 # 9.3ms at 28800 tokens; weights 39MB stay VMEM-resident, h never hits HBM)
 MAX_FUSED_FF_DIM = 1280
+# In-kernel inner-dim strip count. With strips > 1 the GEGLU chain runs per
+# strip, so the next strip's proj_in matmul is data-independent of the
+# current strip's VPU gelu — Mosaic can overlap MXU and VPU work instead of
+# serializing dot1 -> gelu -> dot2 over the full (tile, 2*inner) transient.
+# Env override is the A/B sweep knob (accepted only on a bench.py A/B).
+_FF_STRIPS = int(os.environ.get("VISTA_FF_STRIPS", "1"))
 
 
 def ff_shape_supported(c: int) -> bool:
@@ -66,7 +73,10 @@ def _gelu_tanh(g):
 
 
 def _ff_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-               eps: float, inner: int):
+               eps: float, inner: int, strips: int):
+    """strips == 1: w1/b1 are in the natural [a-half | g-half] column order.
+    strips > 1: columns pre-packed strip-major ([a_0 g_0 a_1 g_1 ...], see
+    _pack_strips) so each strip's proj_in is one contiguous dot."""
     x2 = x_ref[...]  # (tile, C)
     c = x2.shape[-1]
 
@@ -76,16 +86,38 @@ def _ff_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *
     xn = ((xf - mean) * jax.lax.rsqrt(var + eps) * lns_ref[...]
           + lnb_ref[...]).astype(x2.dtype)
 
-    h = jax.lax.dot_general(
-        xn, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1_ref[...]
-    a, g = h[:, :inner], h[:, inner:]
-    hg = (a * _gelu_tanh(g)).astype(x2.dtype)
+    s = inner // strips
+    acc = xf + b2_ref[...]
+    for j in range(strips):
+        h = jax.lax.dot_general(
+            xn, w1_ref[:, 2 * s * j:2 * s * (j + 1)], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1_ref[:, 2 * s * j:2 * s * (j + 1)]
+        a, g = h[:, :s], h[:, s:]
+        hg = (a * _gelu_tanh(g)).astype(x2.dtype)
+        acc = acc + jax.lax.dot_general(
+            hg, w2_ref[s * j:s * (j + 1), :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
 
-    y = jax.lax.dot_general(
-        hg, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b2_ref[...]
-    o_ref[...] = (xf + y).astype(o_ref.dtype)
+
+def _n_strips(inner: int) -> int:
+    """Strip count for this width: every strip boundary must be lane-aligned
+    (128) on both the w1 column axis and the w2 row axis."""
+    s = _FF_STRIPS
+    while s > 1 and (inner % s != 0 or (inner // s) % 128 != 0):
+        s //= 2
+    return max(s, 1)
+
+
+def _pack_strips(w1: Array, b1: Array, inner: int, strips: int):
+    """Reorder proj_in columns from [a | g] halves to strip-major
+    [a_0 g_0 a_1 g_1 ...] so the kernel slices one contiguous block per
+    strip. Pure column permutation — cheap relative to the FF itself."""
+    c = w1.shape[0]
+    s = inner // strips
+    w1p = w1.reshape(c, 2, strips, s).transpose(0, 2, 1, 3).reshape(c, 2 * inner)
+    b1p = b1.reshape(2, strips, s).transpose(1, 0, 2).reshape(2 * inner)
+    return w1p, b1p
 
 
 def _xla_reference(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
@@ -117,9 +149,10 @@ def _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
     n = x.size // c
     x_in = x.reshape(n, c)
 
-    # ~16MB budget for the widest live transient, (tokens, 2*inner) fp32
-    # (isolated sweep: 5x faster than 8MB; flat at 32MB)
-    target = max((1 << 24) // max(2 * inner * 4, 1), 1)
+    # ~16MB budget for the widest live transient, (tokens, 2*inner/strips)
+    # fp32 (isolated sweep: 5x faster than 8MB; flat at 32MB)
+    strips = _n_strips(inner)
+    target = max((1 << 24) // max(2 * (inner // strips) * 4, 1), 1)
     tile = _tile_rows(n, target)
     n_p = n
 
@@ -128,9 +161,12 @@ def _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
     wide = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
 
     w1c = w1.astype(x.dtype)
+    b1c = b1.astype(jnp.float32)
+    if strips > 1:
+        w1c, b1c = _pack_strips(w1c, b1c, inner, strips)
     w2c = w2.astype(x.dtype)
     out = pl.pallas_call(
-        functools.partial(_ff_kernel, eps=eps, inner=inner),
+        functools.partial(_ff_kernel, eps=eps, inner=inner, strips=strips),
         grid=(n_p // tile,),
         in_specs=[
             pl.BlockSpec(blk, idx),
@@ -152,7 +188,7 @@ def _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
         interpret=jax.default_backend() != "tpu",
     )(x_in,
       ln_s.astype(jnp.float32).reshape(1, c), ln_b.astype(jnp.float32).reshape(1, c),
-      w1c, b1.astype(jnp.float32).reshape(1, 2 * inner),
+      w1c, b1c.reshape(1, 2 * inner),
       w2c, b2.astype(jnp.float32).reshape(1, c))
     return out.reshape(orig_shape)
 
