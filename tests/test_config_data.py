@@ -48,6 +48,17 @@ class TestConfig:
         cfg = from_dict(ExperimentConfig, {"engine": {"unet": {"channel_mult": [1, 2]}}})
         assert cfg.engine.unet.channel_mult == (1, 2)
 
+    def test_all_shipped_configs_parse(self):
+        import glob
+
+        paths = sorted(glob.glob(os.path.join(
+            os.path.dirname(__file__), "..", "configs", "*.yaml")))
+        assert len(paths) >= 5
+        for p in paths:
+            cfg = load_config(ExperimentConfig, [p])
+            assert cfg.engine.num_frames > 0
+            assert cfg.train.learning_rate > 0
+
 
 class TestData:
     def test_center_crop_resize_geometry(self):
