@@ -94,12 +94,42 @@ class TestFusedGEGLU:
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                        atol=4e-2, rtol=4e-2)
 
-    def test_chunked_bwd_matches_unchunked(self, monkeypatch):
-        # full-res training OOMed on the unchunked fp32 recompute temps; the
-        # lax.map-chunked VJP must be numerically identical (row-independent
-        # math, only the dW reduction order differs)
+    def test_pallas_bwd_multi_tile_accumulators(self, monkeypatch):
+        # force several grid steps so the sequential-grid dW/db/dln
+        # accumulators are exercised across tiles (init at step 0, += after)
         import vista_tpu.ops.fused_ff as ff_mod
 
+        rng = np.random.RandomState(3)
+        c, inner = 16, 64
+        x = jnp.asarray(rng.randn(8, 8, c), jnp.float32)
+        args = (
+            jnp.asarray(rng.randn(c) * 0.2 + 1, jnp.float32),
+            jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(c, 2 * inner) * 0.2, jnp.float32),
+            jnp.asarray(rng.randn(2 * inner) * 0.05, jnp.float32),
+            jnp.asarray(rng.randn(inner, c) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(c) * 0.05, jnp.float32),
+        )
+        ct = jnp.asarray(rng.randn(8, 8, c), jnp.float32)
+        from vista_tpu.ops.fused_ff import _xla_reference
+
+        monkeypatch.setattr(ff_mod, "_tile_rows", lambda n, t: 16)  # 4 steps
+        g_fused = jax.grad(lambda *a: jnp.sum(fused_geglu_ff(*a) * ct),
+                           argnums=tuple(range(7)))(x, *args)
+        g_ref = jax.grad(lambda *a: jnp.sum(_xla_reference(*a) * ct),
+                         argnums=tuple(range(7)))(x, *args)
+        for gf, gr in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_chunked_bwd_matches_unchunked(self, monkeypatch):
+        # wide layers (c=1280) exceed the Pallas-bwd VMEM budget and keep the
+        # chunked XLA-recompute VJP; full-res training OOMed on the unchunked
+        # fp32 recompute temps, so the lax.map-chunked VJP must be numerically
+        # identical (row-independent math, only the dW reduction order differs)
+        import vista_tpu.ops.fused_ff as ff_mod
+
+        monkeypatch.setattr(ff_mod, "MAX_FUSED_BWD_DIM", 0)  # force XLA path
         rng = np.random.RandomState(2)
         c, inner = 16, 64
         x = jnp.asarray(rng.randn(8, 8, c), jnp.float32)

@@ -20,12 +20,15 @@ sublane-unaligned middle dim (the temporal stack's t=25) pad it to 32 first
 so explicit padding adds no real compute and keeps every reshape aligned
 (Mosaic rejects unaligned shape casts).
 
-Backward: XLA-recompute VJP (exact math, standard remat cost), chunked
-over the token axis — the FF is row-independent (LN over channels, per-token
-matmuls, elementwise GEGLU), so a serial ``lax.map`` over token chunks is
-exact while bounding the fp32 ``(rows, 2*inner)`` recompute temps (an
-unchunked recompute at 576x1024 materializes a 2.8 GB fp32 tensor, which
-OOMed the full-res single-chip train step).
+Backward: a second Pallas kernel for c <= 640 — recomputes the forward
+chain per token tile in VMEM and produces dx plus all parameter grads via
+sequential-grid accumulators, so neither the ``(rows, 2*inner)`` recompute
+temps nor the dH cotangent ever touch HBM. At c=1280 the fp32 dW1/dW2
+accumulators alone are ~79 MB (over the VMEM budget next to the resident
+weights), so wide layers keep the chunked XLA-recompute VJP: a serial
+``lax.map`` over token chunks, exact while bounding the fp32
+``(rows, 2*inner)`` temps (unchunked recompute at 576x1024 materializes a
+2.8 GB fp32 tensor, which OOMed the full-res single-chip train step).
 """
 
 from __future__ import annotations
@@ -206,17 +209,163 @@ def _vjp_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
 
 # cap the per-chunk fp32 (rows, 2*inner) backward recompute temp near this
 _BWD_TEMP_BYTES = 256 << 20
+# widest layer whose fp32 dW1/dW2 grid accumulators + resident weights fit
+# the VMEM budget (c=640: ~30 MB; c=1280 would need ~118 MB)
+MAX_FUSED_BWD_DIM = 640
 
 
 def _bwd_chunks(n: int, inner2: int) -> int:
     return bwd_chunks(n, inner2, _BWD_TEMP_BYTES)
 
 
+def _gelu_tanh_grad(g):
+    """d/dg of the tanh-form GELU (fp32)."""
+    u = 0.7978845608028654 * (g + 0.044715 * g * g * g)
+    t = jnp.tanh(u)
+    du = 0.7978845608028654 * (1.0 + 3.0 * 0.044715 * g * g)
+    return 0.5 * (1.0 + t) + 0.5 * g * (1.0 - t * t) * du
+
+
+def _ff_bwd_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, g_ref,
+                   dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+                   db2_ref, *, eps: float, inner: int):
+    """Recompute the forward chain for this token tile and emit dx plus
+    parameter-grad partial sums. The grad accumulators map every grid step
+    to the same block (index map -> 0), so they stay VMEM-resident across
+    the sequential grid and are written back once."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x2 = x_ref[...]
+    c = x2.shape[-1]
+    cdt = x2.dtype
+
+    # ---- forward recompute (identical math to _ff_kernel) ----
+    xf = x2.astype(jnp.float32)
+    mean = jnp.sum(xf, axis=-1, keepdims=True) / c
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) / c - mean * mean
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * r
+    lns = lns_ref[...]
+    xn = (xhat * lns + lnb_ref[...]).astype(cdt)
+    h = jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    a, g = h[:, :inner], h[:, inner:]
+    ga = _gelu_tanh(g)
+    hg = (a * ga).astype(cdt)
+
+    # ---- backward ----
+    gy = g_ref[...].astype(jnp.float32)           # (tile, C)
+    gyc = gy.astype(cdt)
+    db2_ref[...] += jnp.sum(gy, axis=0, keepdims=True)
+    # dW2 += hg^T gy  (contract over the token tile)
+    dw2_ref[...] += jax.lax.dot_general(
+        hg, gyc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dhg = jax.lax.dot_general(                     # gy @ W2^T -> (tile, inner)
+        gyc, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    da = dhg * ga
+    dg = dhg * a * _gelu_tanh_grad(g)
+    dh = jnp.concatenate([da, dg], axis=-1)        # (tile, 2*inner) fp32
+    dhc = dh.astype(cdt)
+    db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dw1_ref[...] += jax.lax.dot_general(           # xn^T dH -> (C, 2*inner)
+        xn, dhc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dxn = jax.lax.dot_general(                     # dH @ W1^T -> (tile, C)
+        dhc, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dlns_ref[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlnb_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
+    # LayerNorm backward: dxf = r*(dxhat - mean(dxhat) - xhat*mean(dxhat*xhat))
+    dxhat = dxn * lns
+    m1 = jnp.sum(dxhat, axis=-1, keepdims=True) / c
+    m2 = jnp.sum(dxhat * xhat, axis=-1, keepdims=True) / c
+    dxf = r * (dxhat - m1 - xhat * m2)
+    dx_ref[...] = (gy + dxf).astype(dx_ref.dtype)
+
+
+def _ff_bwd_pallas(x, ln_s, ln_b, w1, b1, w2, g, eps):
+    """Fused backward for c <= MAX_FUSED_BWD_DIM: one sequential-grid pass,
+    no HBM transients. Returns grads in the primal dtypes."""
+    orig_shape = x.shape
+    c = x.shape[-1]
+    inner = w2.shape[0]
+    n = x.size // c
+    x_in = x.reshape(n, c)
+    g_in = g.reshape(n, c)
+
+    # live fp32 transients are ~4 tile-rows wide at 2*inner: h, dH (+ their
+    # compute-dtype casts); budget them to ~24MB together
+    target = max((3 << 22) // max(2 * inner * 4, 1), 1)
+    tile = _tile_rows(n, target)
+
+    blk = (tile, c)
+    idx = lambda i: (i, 0)
+    wide = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+
+    f32 = jnp.float32
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_ff_bwd_kernel, eps=eps, inner=inner),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec(blk, idx),
+            wide((1, c)), wide((1, c)),
+            wide((c, 2 * inner)), wide((1, 2 * inner)),
+            wide((inner, c)),
+            pl.BlockSpec(blk, idx),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk, idx),
+            wide((1, c)), wide((1, c)),
+            wide((c, 2 * inner)), wide((1, 2 * inner)),
+            wide((inner, c)), wide((1, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), f32), jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, 2 * inner), f32),
+            jax.ShapeDtypeStruct((1, 2 * inner), f32),
+            jax.ShapeDtypeStruct((inner, c), f32), jax.ShapeDtypeStruct((1, c), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),   # accumulators: sequential
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * c * 4 * inner + 20 * n * c,
+            bytes_accessed=4 * n * c * x.dtype.itemsize,
+            transcendentals=2 * n * inner,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x_in,
+      ln_s.astype(f32).reshape(1, c), ln_b.astype(f32).reshape(1, c),
+      w1.astype(x.dtype), b1.astype(f32).reshape(1, 2 * inner),
+      w2.astype(x.dtype), g_in)
+    return (dx.reshape(orig_shape),
+            dlns.reshape(ln_s.shape).astype(ln_s.dtype),
+            dlnb.reshape(ln_b.shape).astype(ln_b.dtype),
+            dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape((c,)))
+
+
 def _vjp_bwd(eps, residuals, g):
     x, ln_s, ln_b, w1, b1, w2, b2 = residuals
-    f = lambda *a: _xla_reference(*a, eps=eps)
     c = x.shape[-1]
     n = x.size // c
+    if c <= MAX_FUSED_BWD_DIM:
+        dx, dlns, dlnb, dw1, db1, dw2, db2 = _ff_bwd_pallas(
+            x, ln_s, ln_b, w1, b1, w2, g, eps)
+        return dx, dlns, dlnb, dw1, db1, dw2, db2.astype(b2.dtype)
+    f = lambda *a: _xla_reference(*a, eps=eps)
     chunks = _bwd_chunks(n, w1.shape[-1])
     if chunks == 1:
         _, vjp = jax.vjp(f, x, ln_s, ln_b, w1, b1, w2, b2)
