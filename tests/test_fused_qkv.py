@@ -74,11 +74,43 @@ class TestFusedQKV:
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                        atol=2e-5, rtol=2e-5)
 
-    def test_chunked_bwd_matches_unchunked(self, monkeypatch):
-        # the lax.map-chunked VJP (full-res memory fix) must match the
-        # unchunked recompute exactly up to dW reduction order
+    def test_pallas_bwd_multi_tile_accumulators(self, monkeypatch):
+        # force several grid steps so the sequential-grid dW/dln accumulators
+        # are exercised across tiles (init at step 0, += after)
         import vista_tpu.ops.fused_qkv as qkv_mod
 
+        rng = np.random.RandomState(3)
+        c, inner = 16, 32
+        x = jnp.asarray(rng.randn(8, 8, c), jnp.float32)
+        ln_s = jnp.asarray(rng.randn(c) * 0.2 + 1, jnp.float32)
+        ln_b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        wq, wk, wv = (jnp.asarray(rng.randn(c, inner) * 0.2, jnp.float32)
+                      for _ in range(3))
+        cts = tuple(jnp.asarray(rng.randn(8, 8, inner), jnp.float32)
+                    for _ in range(3))
+
+        def loss(fn):
+            def f(*a):
+                q, k, v = fn(*a)
+                return jnp.sum(q * cts[0]) + jnp.sum(k * cts[1]) + jnp.sum(v * cts[2])
+            return f
+
+        monkeypatch.setattr(qkv_mod, "_tile_rows", lambda n, t: 16)  # 4 steps
+        g_fused = jax.grad(loss(fused_ln_qkv), argnums=tuple(range(6)))(
+            x, ln_s, ln_b, wq, wk, wv)
+        g_ref = jax.grad(loss(_xla_reference), argnums=tuple(range(6)))(
+            x, ln_s, ln_b, wq, wk, wv)
+        for gf, gr in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_chunked_bwd_matches_unchunked(self, monkeypatch):
+        # the lax.map-chunked XLA fallback (full-res memory fix, still the
+        # path behind MAX_FUSED_BWD_DIM=0) must match the unchunked
+        # recompute exactly up to dW reduction order
+        import vista_tpu.ops.fused_qkv as qkv_mod
+
+        monkeypatch.setattr(qkv_mod, "MAX_FUSED_BWD_DIM", 0)  # force XLA path
         rng = np.random.RandomState(2)
         c, inner = 16, 32
         x = jnp.asarray(rng.randn(8, 8, c), jnp.float32)

@@ -11,9 +11,12 @@ VMEM, runs the three projections against VMEM-resident weights, and writes
 q, k, v — 1 read + 3 writes, no LN materialization, no weight re-reads.
 The flash kernel then consumes q/k/v in this exact packed row-major layout.
 
-Backward: XLA-recompute VJP (exact math, standard remat cost), chunked over
-the token axis like fused_ff — LN + per-token dots are row-independent, so
-a serial ``lax.map`` bounds the fp32 recompute temps at full-res trainings.
+Backward: a second Pallas kernel (all supported widths — the three fp32
+dW accumulators are only ~20 MB even at c=1280): recomputes the LN per
+token tile in VMEM and emits dx plus all parameter grads via
+sequential-grid accumulators, so no fp32 recompute temps touch HBM. A
+chunked XLA-recompute VJP is kept as a monkeypatch-able fallback
+(``MAX_FUSED_BWD_DIM = 0``) mirroring fused_ff's wide-layer path.
 """
 
 from __future__ import annotations
@@ -130,10 +133,117 @@ def _vjp_fwd(x, ln_s, ln_b, wq, wk, wv, eps):
 
 # cap the per-chunk fp32 backward recompute temps near this
 _BWD_TEMP_BYTES = 256 << 20
+# Pallas bwd covers every width the fwd accepts; set to 0 to force the
+# chunked XLA fallback (tests do, mirroring fused_ff's wide-layer path)
+MAX_FUSED_BWD_DIM = MAX_FUSED_QKV_DIM
 
 
 def _bwd_chunks(n: int, width: int) -> int:
     return bwd_chunks(n, width, _BWD_TEMP_BYTES)
+
+
+def _qkv_bwd_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+                    gq_ref, gk_ref, gv_ref,
+                    dx_ref, dlns_ref, dlnb_ref, dwq_ref, dwk_ref, dwv_ref,
+                    *, eps: float):
+    """LN recompute + grads for this token tile; dW/dln accumulators map all
+    grid steps to block 0 and stay VMEM-resident across the sequential grid."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+
+    x2 = x_ref[...]
+    c = x2.shape[-1]
+    cdt = x2.dtype
+
+    xf = x2.astype(jnp.float32)
+    mean = jnp.sum(xf, axis=-1, keepdims=True) / c
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) / c - mean * mean
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * r
+    lns = lns_ref[...]
+    xn = (xhat * lns + lnb_ref[...]).astype(cdt)
+
+    dxn = jnp.zeros_like(xf)
+    for g_ref, w_ref, dw_ref in ((gq_ref, wq_ref, dwq_ref),
+                                 (gk_ref, wk_ref, dwk_ref),
+                                 (gv_ref, wv_ref, dwv_ref)):
+        gi = g_ref[...].astype(cdt)
+        dw_ref[...] += jax.lax.dot_general(   # xn^T g_i -> (C, inner)
+            xn, gi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dxn = dxn + jax.lax.dot_general(      # g_i @ W_i^T -> (tile, C)
+            gi, w_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dlns_ref[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlnb_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
+    dxhat = dxn * lns
+    m1 = jnp.sum(dxhat, axis=-1, keepdims=True) / c
+    m2 = jnp.sum(dxhat * xhat, axis=-1, keepdims=True) / c
+    dx_ref[...] = (r * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _qkv_bwd_pallas(x, ln_s, ln_b, wq, wk, wv, g, eps):
+    orig_shape = x.shape
+    c = x.shape[-1]
+    inner = wq.shape[1]
+    n = x.size // c
+    x_in = x.reshape(n, c)
+    gq, gk, gv = (gi.reshape(n, inner) for gi in g)
+
+    # fp32 transients per tile row: xf/xhat/dxn/dxhat (~4c) + 3 g casts
+    target = max((1 << 24) // max((4 * c + 3 * inner) * 4, 1), 8)
+    tile = _tile_rows(n, target)
+
+    blk_in = pl.BlockSpec((tile, c), lambda i: (i, 0))
+    blk_g = pl.BlockSpec((tile, inner), lambda i: (i, 0))
+    wide = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    f32 = jnp.float32
+    w_sd = jax.ShapeDtypeStruct((c, inner), f32)
+
+    dx, dlns, dlnb, dwq, dwk, dwv = pl.pallas_call(
+        functools.partial(_qkv_bwd_kernel, eps=eps),
+        grid=(n // tile,),
+        in_specs=[
+            blk_in,
+            wide((1, c)), wide((1, c)),
+            wide((c, inner)), wide((c, inner)), wide((c, inner)),
+            blk_g, blk_g, blk_g,
+        ],
+        out_specs=[
+            blk_in,
+            wide((1, c)), wide((1, c)),
+            wide((c, inner)), wide((c, inner)), wide((c, inner)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), f32), jax.ShapeDtypeStruct((1, c), f32),
+            w_sd, w_sd, w_sd,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),   # accumulators: sequential
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n * c * inner + 20 * n * c,
+            bytes_accessed=(2 * n * c + 3 * n * inner) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x_in,
+      ln_s.astype(f32).reshape(1, c), ln_b.astype(f32).reshape(1, c),
+      wq.astype(x.dtype), wk.astype(x.dtype), wv.astype(x.dtype),
+      gq, gk, gv)
+    return (dx.reshape(orig_shape),
+            dlns.reshape(ln_s.shape).astype(ln_s.dtype),
+            dlnb.reshape(ln_b.shape).astype(ln_b.dtype),
+            dwq.astype(wq.dtype), dwk.astype(wk.dtype), dwv.astype(wv.dtype))
 
 
 def _vjp_bwd(eps, residuals, g):
@@ -142,6 +252,8 @@ def _vjp_bwd(eps, residuals, g):
     c = x.shape[-1]
     inner = wq.shape[1]
     n = x.size // c
+    if c <= MAX_FUSED_BWD_DIM:
+        return _qkv_bwd_pallas(x, ln_s, ln_b, wq, wk, wv, g, eps)
     # widest per-row temps: the fp32 xn recompute (c) / three dot grads (3*inner)
     chunks = _bwd_chunks(n, max(c, 3 * inner))
     if chunks == 1:
