@@ -74,6 +74,58 @@ class TestFusedTemporalAttn:
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                        atol=2e-5, rtol=2e-5)
 
+    def test_pallas_bwd_multi_group_accumulators(self, monkeypatch):
+        # force several grid steps so the sequential-grid dW/dln accumulators
+        # are exercised across row groups (init at step 0, += after)
+        import vista_tpu.ops.fused_temporal_attn as mod
+
+        monkeypatch.setattr(mod, "_bwd_group_rows", lambda *a: 2)  # 4 steps
+        x, args = _make(rows=8, t=8, c=16, heads=2, seed=4)
+        x = x.astype(jnp.float32)
+        ct = jnp.asarray(np.random.RandomState(5).randn(*x.shape), jnp.float32)
+        g_fused = jax.grad(
+            lambda *a: jnp.sum(fused_temporal_self_attn(*a, 2, x.shape[1]) * ct),
+            argnums=tuple(range(8)))(x, *args)
+        g_ref = jax.grad(
+            lambda *a: jnp.sum(_xla_reference(*a, num_heads=2) * ct),
+            argnums=tuple(range(8)))(x, *args)
+        for gf, gr in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_pallas_bwd_padded_frames(self):
+        # cotangent is zero on padded query rows (slice VJP) and padded key
+        # columns have p == 0: grads must match the XLA VJP incl. the mask
+        x, args = _make(rows=4, t=8, c=16, heads=2, seed=6)
+        x = x.astype(jnp.float32)
+        valid = 5
+        ct = np.zeros(x.shape, np.float32)
+        ct[:, :valid] = np.random.RandomState(7).randn(4, valid, 16)
+        ct = jnp.asarray(ct)
+        g_fused = jax.grad(
+            lambda *a: jnp.sum(fused_temporal_self_attn(*a, 2, valid) * ct),
+            argnums=tuple(range(8)))(x, *args)
+        g_ref = jax.grad(
+            lambda *a: jnp.sum(_xla_reference(*a, num_heads=2, valid_t=valid) * ct),
+            argnums=tuple(range(8)))(x, *args)
+        for gf, gr in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_xla_fallback_bwd_matches(self, monkeypatch):
+        import vista_tpu.ops.fused_temporal_attn as mod
+
+        x, args = _make(rows=4, t=8, c=16, heads=2, seed=8)
+        x = x.astype(jnp.float32)
+        ct = jnp.asarray(np.random.RandomState(9).randn(*x.shape), jnp.float32)
+        loss = lambda *a: jnp.sum(fused_temporal_self_attn(*a, 2, x.shape[1]) * ct)
+        g_pallas = jax.grad(loss, argnums=tuple(range(8)))(x, *args)
+        monkeypatch.setattr(mod, "_PALLAS_BWD", False)
+        g_xla = jax.grad(loss, argnums=tuple(range(8)))(x, *args)
+        for gp, gx in zip(g_pallas, g_xla):
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                       atol=2e-5, rtol=2e-5)
+
     def test_gate(self):
         # t must be sublane-aligned (callers pad 25 -> 32)
         assert fused_temporal_attn_supported(32, 320, 320)

@@ -15,8 +15,13 @@ residual add -> one write. The (g, t, c) -> (g*t, c) flatten happens on the
 VMEM block, where the t=25 sublane padding costs a shuffle instead of an
 HBM relayout.
 
-Backward: XLA-recompute VJP (exact math; the t^2 logits are tiny so the
-naive recompute is memory-safe).
+Backward: a second Pallas kernel mirroring the forward's fusion — the XLA
+recompute VJP rode the same ~2 TF/s batched-matmul path (tiny (t, d)
+matmuls, layout copies) the forward kernel exists to escape, roughly
+tripled. Per row-group the whole chain (LN recompute, q/k/v, per-head
+softmax backward, out-proj grads, LN backward) runs in VMEM; parameter
+grads accumulate in grid-resident fp32 blocks. The XLA VJP remains as a
+monkeypatch-able fallback (``_PALLAS_BWD = False``).
 """
 
 from __future__ import annotations
@@ -182,8 +187,203 @@ def _vjp_fwd(x, ln_s, ln_b, wq, wk, wv, wo, bo, num_heads, valid_t, eps):
     return out, (x, ln_s, ln_b, wq, wk, wv, wo, bo)
 
 
+_PALLAS_BWD = True  # False -> XLA-recompute VJP (debug/fallback)
+
+
+def _bwd_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                gy_ref,
+                dx_ref, dlns_ref, dlnb_ref, dwq_ref, dwk_ref, dwv_ref,
+                dwo_ref, dbo_ref, *, eps: float, heads: int, d: int,
+                scale: float, valid_t: int):
+    """Forward recompute + full backward for one row-group. Padded query
+    rows carry zero cotangent (the caller slices them off, so the slice VJP
+    zero-fills) and padded key columns have p == 0, so no garbage from the
+    sublane padding can reach any gradient."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dwo_ref[...] = jnp.zeros_like(dwo_ref)
+        dbo_ref[...] = jnp.zeros_like(dbo_ref)
+
+    x0 = x_ref[...]               # (g, t, c)
+    g, t, c = x0.shape
+    cdt = x0.dtype
+    x2 = x0.reshape(g * t, c)
+    inner = wq_ref.shape[1]
+
+    # ---- forward recompute (identical math to _kernel) ----
+    xf = x2.astype(jnp.float32)
+    mean = jnp.sum(xf, axis=-1, keepdims=True) / c
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) / c - mean * mean
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * r
+    lns = lns_ref[...]
+    xn = (xhat * lns + lnb_ref[...]).astype(cdt)
+
+    def proj(w_ref):
+        return jax.lax.dot_general(
+            xn, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)
+
+    q3 = proj(wq_ref).reshape(g, t, inner)
+    k3 = proj(wk_ref).reshape(g, t, inner)
+    v3 = proj(wv_ref).reshape(g, t, inner)
+
+    mask = None
+    if valid_t < t:
+        col = jax.lax.broadcasted_iota(jnp.int32, (g, t, t), 2)
+        mask = col >= valid_t
+
+    gy = gy_ref[...].reshape(g * t, c).astype(jnp.float32)
+    gyc = gy.astype(cdt)
+    dbo_ref[...] += jnp.sum(gy, axis=0, keepdims=True)
+    do3 = jax.lax.dot_general(            # gy @ Wo^T -> (g*t, inner)
+        gyc, wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(g, t, inner)
+
+    o_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    for h in range(heads):
+        hs = slice(h * d, (h + 1) * d)
+        q_h, k_h, v_h = q3[..., hs], k3[..., hs], v3[..., hs]
+        s = jax.lax.dot_general(
+            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (g, t, t)
+        if mask is not None:
+            s = jnp.where(mask, -1e30, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pc = p.astype(cdt)
+        o_parts.append(jax.lax.dot_general(
+            pc, v_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(cdt))
+
+        do_h = do3[..., hs].astype(cdt)                 # (g, t, d)
+        # dv_h = p^T @ do_h: contract the query axis
+        dv_parts.append(jax.lax.dot_general(
+            pc, do_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+        # dp = do_h @ v_h^T
+        dp = jax.lax.dot_general(
+            do_h, v_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (g, t, t)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dsc = ds.astype(cdt)
+        dq_parts.append(jax.lax.dot_general(             # ds @ k_h
+            dsc, k_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+        dk_parts.append(jax.lax.dot_general(             # ds^T @ q_h
+            dsc, q_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))
+
+    cat = lambda ps: (ps[0] if heads == 1 else jnp.concatenate(ps, axis=-1))
+    o2 = cat(o_parts).reshape(g * t, inner)
+    dwo_ref[...] += jax.lax.dot_general(  # o^T gy -> (inner, c)
+        o2, gyc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    dxn = jnp.zeros_like(xf)
+    for dpart, w_ref, dw_ref in ((cat(dq_parts), wq_ref, dwq_ref),
+                                 (cat(dk_parts), wk_ref, dwk_ref),
+                                 (cat(dv_parts), wv_ref, dwv_ref)):
+        d2 = dpart.reshape(g * t, inner).astype(cdt)
+        dw_ref[...] += jax.lax.dot_general(   # xn^T d -> (c, inner)
+            xn, d2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dxn = dxn + jax.lax.dot_general(      # d @ W^T -> (g*t, c)
+            d2, w_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dlns_ref[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlnb_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
+    dxhat = dxn * lns
+    m1 = jnp.sum(dxhat, axis=-1, keepdims=True) / c
+    m2 = jnp.sum(dxhat * xhat, axis=-1, keepdims=True) / c
+    dxf = r * (dxhat - m1 - xhat * m2)
+    dx_ref[...] = (gy + dxf).astype(dx_ref.dtype).reshape(g, t, c)
+
+
+def _bwd_group_rows(rows: int, t: int, c: int, inner: int) -> int:
+    """Row-group size for the backward kernel: fp32 q/k/v grads + dxn
+    dominate the per-group transients, so groups are smaller than the
+    forward's (more live tensors per row). Power-of-2 divisor of rows."""
+    per_g = t * (16 * inner + 16 * c) + 16 * t * t
+    target = max((24 << 20) // max(per_g, 1), 1)
+    g = 1
+    cand = 1
+    while cand <= target:
+        if rows % cand == 0:
+            g = cand
+        cand *= 2
+    return g
+
+
+def _bwd_pallas(x, ln_s, ln_b, wq, wk, wv, wo, g_out, num_heads, valid_t, eps):
+    rows, t, c = x.shape
+    inner = wq.shape[1]
+    d = inner // num_heads
+    g = _bwd_group_rows(rows, t, c, inner)
+
+    dt = x.dtype
+    f32 = jnp.float32
+    blk = pl.BlockSpec((g, t, c), lambda i: (i, 0, 0))
+    wide = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    w_sd = jax.ShapeDtypeStruct((c, inner), f32)
+
+    dx, dlns, dlnb, dwq, dwk, dwv, dwo, dbo = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps, heads=num_heads, d=d,
+                          scale=d ** -0.5, valid_t=valid_t),
+        grid=(rows // g,),
+        in_specs=[
+            blk,
+            wide((1, c)), wide((1, c)),
+            wide((c, inner)), wide((c, inner)), wide((c, inner)),
+            wide((inner, c)),
+            blk,
+        ],
+        out_specs=[
+            blk,
+            wide((1, c)), wide((1, c)),
+            wide((c, inner)), wide((c, inner)), wide((c, inner)),
+            wide((inner, c)), wide((1, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, t, c), dt),
+            jax.ShapeDtypeStruct((1, c), f32), jax.ShapeDtypeStruct((1, c), f32),
+            w_sd, w_sd, w_sd,
+            jax.ShapeDtypeStruct((inner, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),   # accumulators: sequential
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * rows * t * (8 * c * inner + 4 * t * inner),
+            bytes_accessed=3 * rows * t * c * dt.itemsize,
+            transcendentals=rows * num_heads * t * t,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x,
+      ln_s.astype(f32).reshape(1, c), ln_b.astype(f32).reshape(1, c),
+      wq.astype(dt), wk.astype(dt), wv.astype(dt), wo.astype(dt),
+      g_out)
+    return (dx, dlns.reshape(ln_s.shape).astype(ln_s.dtype),
+            dlnb.reshape(ln_b.shape).astype(ln_b.dtype),
+            dwq.astype(wq.dtype), dwk.astype(wk.dtype), dwv.astype(wv.dtype),
+            dwo.astype(wo.dtype), dbo.reshape((c,)))
+
+
 def _vjp_bwd(num_heads, valid_t, eps, residuals, g):
     x, ln_s, ln_b, wq, wk, wv, wo, bo = residuals
+    if _PALLAS_BWD:
+        out = _bwd_pallas(x, ln_s, ln_b, wq, wk, wv, wo, g, num_heads,
+                          valid_t, eps)
+        return (*out[:-1], out[-1].reshape(bo.shape).astype(bo.dtype))
     _, vjp = jax.vjp(
         lambda *a: _xla_reference(*a, num_heads=num_heads, valid_t=valid_t,
                                   eps=eps),
