@@ -71,6 +71,20 @@ class TestTinyAttention:
                                        atol=2e-5, rtol=2e-5,
                                        err_msg=f"d{name} mismatch")
 
+    def test_pallas_bwd_matches_xla_fallback(self, monkeypatch):
+        import vista_tpu.ops.tiny_attention as mod
+
+        rng = np.random.RandomState(4)
+        q, k, v, ct = (jnp.asarray(rng.randn(4, 16, 32), jnp.float32)
+                       for _ in range(4))
+        loss = lambda q, k, v: jnp.sum(tiny_attention_packed(q, k, v, 2) * ct)
+        g_pallas = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        monkeypatch.setattr(mod, "_PALLAS_BWD", False)
+        g_xla = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for gp, gx in zip(g_pallas, g_xla):
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                       atol=2e-5, rtol=2e-5)
+
 
 class TestAttentionPackedDispatch:
     def test_packed_matches_xla_multihead(self):

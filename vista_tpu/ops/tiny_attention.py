@@ -9,9 +9,11 @@ the MXU anyway.
 
 This kernel fuses logits -> fp32 softmax -> PV per row-tile entirely in
 VMEM on the packed ``(rows, T, heads*d)`` layout (no relayouts), with the
-row batch carried as a dot_general batch dimension. The backward recomputes
-through the XLA reference (exact math; T^2 logits are tiny, so the naive
-VJP is memory-safe).
+row batch carried as a dot_general batch dimension. The backward is a
+second Pallas kernel with the same structure (recompute p per row group,
+then dq/dk/dv via the softmax VJP) — everything is row-local, so there are
+no cross-tile accumulators and the grid stays parallel. The XLA-recompute
+VJP remains as a monkeypatch-able fallback (``_PALLAS_BWD = False``).
 """
 
 from __future__ import annotations
@@ -136,8 +138,79 @@ def _vjp_fwd(q, k, v, num_heads):
     return _tiny_fwd(q, k, v, num_heads), (q, k, v)
 
 
+_PALLAS_BWD = True  # False -> XLA-recompute VJP (debug/fallback)
+
+
+def _tiny_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                     scale: float, heads: int, d: int):
+    q = q_ref[...]  # (g, T, heads*d)
+    k = k_ref[...]
+    v = v_ref[...]
+    go = g_ref[...]
+    cdt = q.dtype
+    for h in range(heads):
+        hs = slice(h * d, (h + 1) * d)
+        q_h, k_h, v_h = q[..., hs], k[..., hs], v[..., hs]
+        s = jax.lax.dot_general(
+            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (g, T, T)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pc = p.astype(cdt)
+
+        do_h = go[..., hs].astype(cdt)                   # (g, T, d)
+        dv_ref[..., hs] = jax.lax.dot_general(           # p^T @ do
+            pc, do_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(                        # do @ v^T
+            do_h, v_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dsc = ds.astype(cdt)
+        dq_ref[..., hs] = jax.lax.dot_general(           # ds @ k
+            dsc, k_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[..., hs] = jax.lax.dot_general(           # ds^T @ q
+            dsc, q_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _tiny_bwd_pallas(q, k, v, g, num_heads):
+    rows, t, hd = q.shape
+    d = hd // num_heads
+    # more live per-row tensors than the forward (q/k/v/g in, 3 grads out,
+    # fp32 p/dp/ds): halve the forward's group budget
+    grp = max(_pick_group(rows, t, hd) // 2, 1)
+    while grp > 1 and rows % grp:
+        grp //= 2
+
+    blk = pl.BlockSpec((grp, t, hd), lambda r: (r, 0, 0))
+    sd = jax.ShapeDtypeStruct((rows, t, hd), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_tiny_bwd_kernel, scale=d ** -0.5, heads=num_heads,
+                          d=d),
+        grid=(rows // grp,),
+        in_specs=[blk, blk, blk, blk],
+        out_specs=[blk, blk, blk],
+        out_shape=[sd, sd, sd],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * rows * t * t * hd,
+            bytes_accessed=7 * rows * t * hd * q.dtype.itemsize,
+            transcendentals=rows * num_heads * t * t,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, g)
+
+
 def _vjp_bwd(num_heads, residuals, g):
     q, k, v = residuals
+    if _PALLAS_BWD:
+        return _tiny_bwd_pallas(q, k, v, g, num_heads)
     # T^2 logits are tiny: the XLA-recompute VJP is exact and memory-safe
     _, vjp = jax.vjp(lambda q, k, v: _xla_packed_reference(q, k, v, num_heads),
                      q, k, v)
