@@ -31,10 +31,25 @@ def main():
     p.add_argument("--frames", type=int, default=25)
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--xla-bwd", action="store_true",
+                   help="A/B knob: route every fused kernel's backward "
+                        "through its XLA-recompute fallback instead of the "
+                        "Pallas backward kernels")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.xla_bwd:
+        import vista_tpu.ops.fused_ff as _ff
+        import vista_tpu.ops.fused_qkv as _qkv
+        import vista_tpu.ops.fused_temporal_attn as _ta
+        import vista_tpu.ops.tiny_attention as _tiny
+
+        _ff.MAX_FUSED_BWD_DIM = 0
+        _qkv.MAX_FUSED_BWD_DIM = 0
+        _ta._PALLAS_BWD = False
+        _tiny._PALLAS_BWD = False
 
     from vista_tpu.diffusion.loss import LossConfig, diffusion_loss
     from vista_tpu.diffusion.denoiser import precondition_denoise
