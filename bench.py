@@ -197,6 +197,9 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / base_fps, 4),
         "baseline_source": base_src,
+        # second BASELINE.json harness metric: p50 end-to-end latency for one
+        # full sample (all frames), seconds
+        "p50_latency_s": round(p50, 3),
     }))
 
 

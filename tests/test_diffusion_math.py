@@ -119,6 +119,17 @@ class TestSigmaSampling:
         assert abs(logs.mean() - 1.0) < 0.05
         assert abs(logs.std() - 1.6) < 0.05
 
+    def test_defaults_match_shipped_loss_config(self):
+        """Function defaults must equal the shipped Vista values so direct
+        callers get training-identical sigmas (vista_phase1.yaml:181-186)."""
+        import inspect
+
+        from vista_tpu.diffusion.loss import LossConfig
+
+        sig = inspect.signature(sample_edm_sigmas)
+        assert sig.parameters["p_mean"].default == LossConfig.sigma_p_mean == 1.0
+        assert sig.parameters["p_std"].default == LossConfig.sigma_p_std == 1.6
+
 
 class TestGuidance:
     def test_vanilla_scales_constant(self):

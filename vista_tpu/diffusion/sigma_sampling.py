@@ -17,8 +17,8 @@ def sample_edm_sigmas(
     key: jax.Array,
     n_videos: int,
     num_frames: int = 25,
-    p_mean: float = -1.2,
-    p_std: float = 1.2,
+    p_mean: float = 1.0,
+    p_std: float = 1.6,
 ) -> jnp.ndarray:
     """Lognormal sigmas, one per video, repeated per frame. Shape ``(n_videos*num_frames,)``."""
     rand = jax.random.normal(key, (n_videos,))
