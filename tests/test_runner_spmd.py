@@ -56,6 +56,17 @@ class TestTrainerSPMD:
         loss = float(metrics[1].split(",")[1])
         assert np.isfinite(loss)
 
+    def test_image_log_panels_written(self, trainer):
+        # fit() above hit the power-of-2 early log schedule at step 1; the
+        # three reference panels must all exist: input, sampled rollout, and
+        # the VAE round-trip "targets" panel (reference diffusion.py:364-365).
+        # log_images swallows exceptions by design, so a broken panel path
+        # would otherwise pass silently.
+        img_dir = os.path.join(trainer.cfg.run.logdir, "images")
+        files = os.listdir(img_dir)
+        for prefix in ("input_", "sample_", "recon_"):
+            assert any(f.startswith(prefix) for f in files), (prefix, files)
+
     def test_batch_is_data_sharded(self, trainer):
         batch = {"frames": np.zeros((4, 2, 8, 8, 3), np.float32),
                  "fps_id": np.zeros((4,), np.float32)}

@@ -185,7 +185,10 @@ class Trainer:
         return jax.tree.map(put, batch)
 
     def log_images(self, batch: Dict):
-        """Sample a short prediction from the current EMA params and save it."""
+        """Sample a short prediction from the current EMA params and save it,
+        plus the VAE round-trip of the inputs (the reference's "targets"
+        panel, diffusion.py:364-365) — the panel that diagnoses first-stage
+        drift separately from denoiser quality."""
         cfg = self.cfg
         run = cfg.run
         t = cfg.engine.num_frames
@@ -221,6 +224,12 @@ class Trainer:
         save_grid_png(os.path.join(img_dir, f"sample_{step:08d}.png"), pixels)
         save_grid_png(os.path.join(img_dir, f"input_{step:08d}.png"),
                       np.asarray(frames), real=True)
+        # VAE reconstruction panel: decode the *input* latents through the
+        # same cached decode program the sample panel used (identical shapes
+        # -> no extra compile)
+        recon = self.engine.jit_decode()(params, z)
+        recon = np.asarray(jnp.clip((recon + 1.0) / 2.0, 0.0, 1.0))
+        save_grid_png(os.path.join(img_dir, f"recon_{step:08d}.png"), recon)
 
     def fit(self):
         run = self.cfg.run
