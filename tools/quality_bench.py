@@ -40,6 +40,9 @@ def main():
     p.add_argument("--smoke", action="store_true",
                    help="tiny engine + synthetic clips (harness check)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None,
+                   help="also write the JSON artifact to this path (the "
+                        "round-tracked QUALITY_r*.json)")
     from vista_tpu.cli._common import add_platform_arg, force_platform
 
     add_platform_arg(p)
@@ -129,16 +132,33 @@ def main():
     ssims = [ssim(g, r) for g, r in zip(gen_clips, clips)]
     assert np.isfinite(fcd) and all(np.isfinite(v) for v in psnrs + ssims)
 
-    print(json.dumps({
+    payload = {
         "metric": f"quality ({len(clips)} clips x {t} frames, "
                   f"{args.width}x{args.height}, {args.n_steps} steps, "
                   f"{'random weights' if not args.ckpt else os.path.basename(args.ckpt)})",
         "frechet_clip_distance": round(fcd, 3),
         "psnr_db": round(float(np.mean(psnrs)), 2),
         "ssim": round(float(np.mean(ssims)), 4),
-        "note": "CLIP-feature Fréchet proxy; plug I3D features into "
-                "utils/metrics.frechet_distance for true FVD",
-    }))
+        "config": {
+            "height": args.height, "width": args.width, "frames": t,
+            "n_clips": len(clips), "n_steps": args.n_steps,
+            "cfg_scale": args.cfg_scale, "seed": args.seed,
+            "weights": os.path.basename(args.ckpt) if args.ckpt else "random",
+            "clips": "anno" if args.anno else "synthetic",
+            "backend": jax.default_backend(),
+        },
+        "note": "CLIP-feature Fréchet proxy for FVD: per-frame ViT-H "
+                "embeddings instead of I3D clip features — the Fréchet math "
+                "is feature-agnostic and closed-form tested, but the "
+                "CLIP-vs-I3D correlation is UNVALIDATED here (no I3D "
+                "checkpoint in this environment); treat as a "
+                "regression-detection statistic, not an FVD claim. Plug I3D "
+                "features into utils/metrics.frechet_distance for true FVD.",
+    }
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
