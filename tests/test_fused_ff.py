@@ -53,17 +53,6 @@ class TestFusedGEGLU:
         assert not ff_shape_supported(2560)
         assert not ff_shape_supported(324)  # unaligned
 
-    def test_strip_pipelined_path_matches(self, monkeypatch):
-        # strips > 1 reorders proj_in columns strip-major and accumulates
-        # per-strip dot2 results; must be numerically equivalent (only fp32
-        # accumulation order differs). Lane alignment needs inner % 128 == 0.
-        import vista_tpu.ops.fused_ff as ff_mod
-
-        monkeypatch.setattr(ff_mod, "_FF_STRIPS", 2)
-        assert ff_mod._n_strips(256) == 2
-        assert ff_mod._n_strips(128) == 1   # s=64 would be lane-unaligned
-        self._check((2, 64, 64))            # inner = 256 -> 2 strips of 128
-
     def test_grads_match_module(self):
         rng = np.random.RandomState(1)
         c, inner = 16, 64
@@ -130,6 +119,7 @@ class TestFusedGEGLU:
         import vista_tpu.ops.fused_ff as ff_mod
 
         monkeypatch.setattr(ff_mod, "MAX_FUSED_BWD_DIM", 0)  # force XLA path
+        monkeypatch.setattr(ff_mod, "_WIDE_PALLAS_BWD", False)
         rng = np.random.RandomState(2)
         c, inner = 16, 64
         x = jnp.asarray(rng.randn(8, 8, c), jnp.float32)
@@ -151,6 +141,52 @@ class TestFusedGEGLU:
         for gc, gu in zip(g_chunked, g_unchunked):
             np.testing.assert_allclose(np.asarray(gc), np.asarray(gu),
                                        atol=1e-5, rtol=1e-5)
+
+    def test_wide_bwd_matches_reference(self, monkeypatch):
+        # c > MAX_FUSED_BWD_DIM: the activation-export Pallas backward + XLA
+        # dW matmuls must match fp32 autodiff of the kernel's exact math.
+        # Forced at tiny c by lowering the narrow-path ceiling to 0.
+        import vista_tpu.ops.fused_ff as ff_mod
+
+        monkeypatch.setattr(ff_mod, "MAX_FUSED_BWD_DIM", 0)
+        rng = np.random.RandomState(4)
+        c, inner = 16, 64
+        x = jnp.asarray(rng.randn(8, 8, c), jnp.float32)
+        args = (
+            jnp.asarray(rng.randn(c) * 0.2 + 1, jnp.float32),
+            jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(c, 2 * inner) * 0.2, jnp.float32),
+            jnp.asarray(rng.randn(2 * inner) * 0.05, jnp.float32),
+            jnp.asarray(rng.randn(inner, c) * 0.1, jnp.float32),
+            jnp.asarray(rng.randn(c) * 0.05, jnp.float32),
+        )
+        ct = jnp.asarray(rng.randn(8, 8, c), jnp.float32)
+        from vista_tpu.ops.fused_ff import _xla_reference
+
+        loss = lambda *a: jnp.sum(fused_geglu_ff(*a) * ct)
+        g_ref = jax.grad(lambda *a: jnp.sum(_xla_reference(*a) * ct),
+                         argnums=tuple(range(7)))(x, *args)
+
+        assert ff_mod._WIDE_PALLAS_BWD
+        g_wide = jax.grad(loss, argnums=tuple(range(7)))(x, *args)
+        for gw, gr in zip(g_wide, g_ref):
+            np.testing.assert_allclose(np.asarray(gw), np.asarray(gr),
+                                       atol=2e-5, rtol=2e-5)
+
+        # multi-tile grid: sequential db/dln accumulators across tiles
+        monkeypatch.setattr(ff_mod, "_tile_rows", lambda n, t: min(n, 16))
+        g_tiled = jax.grad(loss, argnums=tuple(range(7)))(x, *args)
+        for gw, gr in zip(g_tiled, g_ref):
+            np.testing.assert_allclose(np.asarray(gw), np.asarray(gr),
+                                       atol=2e-5, rtol=2e-5)
+
+        # row-chunked lax.scan wrapper (full-res memory bound): identical
+        # math, only the dW accumulation order differs
+        monkeypatch.setattr(ff_mod, "_WIDE_CHUNK_BYTES", 1)
+        g_chunked = jax.grad(loss, argnums=tuple(range(7)))(x, *args)
+        for gw, gr in zip(g_chunked, g_ref):
+            np.testing.assert_allclose(np.asarray(gw), np.asarray(gr),
+                                       atol=2e-5, rtol=2e-5)
 
     def test_transformer_block_param_tree_stable(self):
         # the fused dispatch must keep the exact param paths of the module

@@ -20,21 +20,25 @@ sublane-unaligned middle dim (the temporal stack's t=25) pad it to 32 first
 so explicit padding adds no real compute and keeps every reshape aligned
 (Mosaic rejects unaligned shape casts).
 
-Backward: a second Pallas kernel for c <= 640 — recomputes the forward
-chain per token tile in VMEM and produces dx plus all parameter grads via
-sequential-grid accumulators, so neither the ``(rows, 2*inner)`` recompute
-temps nor the dH cotangent ever touch HBM. At c=1280 the fp32 dW1/dW2
-accumulators alone are ~79 MB (over the VMEM budget next to the resident
-weights), so wide layers keep the chunked XLA-recompute VJP: a serial
-``lax.map`` over token chunks, exact while bounding the fp32
-``(rows, 2*inner)`` temps (unchunked recompute at 576x1024 materializes a
-2.8 GB fp32 tensor, which OOMed the full-res single-chip train step).
+Backward, two Pallas kernels by width:
+- c <= 640: recompute the forward chain per token tile in VMEM and produce
+  dx plus ALL parameter grads via sequential-grid fp32 accumulators —
+  neither the ``(rows, 2*inner)`` recompute temps nor the dH cotangent ever
+  touch HBM.
+- c > 640 (the ds4 c=1280 sites): the fp32 dW1/dW2 accumulators alone are
+  ~79 MB (over the VMEM budget next to the resident weights), so the wide
+  kernel instead EXPORTS the recomputed activations (xn, hg, dH) in the
+  compute dtype and the two dW contractions run as plain XLA MXU matmuls;
+  a row-chunked ``lax.scan`` bounds the exported temps at full resolution
+  (the unchunked bf16 dH alone is ~590 MB at 576x1024; the old fp32
+  XLA-recompute temps OOMed the single-chip full-res train step outright).
+  The chunked XLA-recompute VJP stays as the monkeypatch fallback
+  (``_WIDE_PALLAS_BWD = False``).
 """
 
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -49,12 +53,12 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 # c=1280 measured 7.5x faster fused than composed-XLA in isolation (69ms ->
 # 9.3ms at 28800 tokens; weights 39MB stay VMEM-resident, h never hits HBM)
 MAX_FUSED_FF_DIM = 1280
-# In-kernel inner-dim strip count. With strips > 1 the GEGLU chain runs per
-# strip, so the next strip's proj_in matmul is data-independent of the
-# current strip's VPU gelu — Mosaic can overlap MXU and VPU work instead of
-# serializing dot1 -> gelu -> dot2 over the full (tile, 2*inner) transient.
-# Env override is the A/B sweep knob (accepted only on a bench.py A/B).
-_FF_STRIPS = int(os.environ.get("VISTA_FF_STRIPS", "1"))
+# NEGATIVE RESULT (round 3, don't retry): in-kernel inner-dim strip
+# pipelining (running the dot1 -> GEGLU -> dot2 chain per inner-dim strip so
+# Mosaic could overlap MXU and VPU work) measured WORSE on the headline
+# bench.py A/B: 0.6116 f/s (strips=1) vs 0.6040 (strips=2) / 0.6069
+# (strips=4). The strip machinery (column repacking + per-strip dots) was
+# deleted; see git history of VISTA_FF_STRIPS for the implementation.
 
 
 def ff_shape_supported(c: int) -> bool:
@@ -76,10 +80,7 @@ def _gelu_tanh(g):
 
 
 def _ff_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-               eps: float, inner: int, strips: int):
-    """strips == 1: w1/b1 are in the natural [a-half | g-half] column order.
-    strips > 1: columns pre-packed strip-major ([a_0 g_0 a_1 g_1 ...], see
-    _pack_strips) so each strip's proj_in is one contiguous dot."""
+               eps: float, inner: int):
     x2 = x_ref[...]  # (tile, C)
     c = x2.shape[-1]
 
@@ -89,38 +90,15 @@ def _ff_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *
     xn = ((xf - mean) * jax.lax.rsqrt(var + eps) * lns_ref[...]
           + lnb_ref[...]).astype(x2.dtype)
 
-    s = inner // strips
-    acc = xf + b2_ref[...]
-    for j in range(strips):
-        h = jax.lax.dot_general(
-            xn, w1_ref[:, 2 * s * j:2 * s * (j + 1)], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b1_ref[:, 2 * s * j:2 * s * (j + 1)]
-        a, g = h[:, :s], h[:, s:]
-        hg = (a * _gelu_tanh(g)).astype(x2.dtype)
-        acc = acc + jax.lax.dot_general(
-            hg, w2_ref[s * j:s * (j + 1), :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    h = jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    a, g = h[:, :inner], h[:, inner:]
+    hg = (a * _gelu_tanh(g)).astype(x2.dtype)
+    acc = xf + b2_ref[...] + jax.lax.dot_general(
+        hg, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     o_ref[...] = acc.astype(o_ref.dtype)
-
-
-def _n_strips(inner: int) -> int:
-    """Strip count for this width: every strip boundary must be lane-aligned
-    (128) on both the w1 column axis and the w2 row axis."""
-    s = _FF_STRIPS
-    while s > 1 and (inner % s != 0 or (inner // s) % 128 != 0):
-        s //= 2
-    return max(s, 1)
-
-
-def _pack_strips(w1: Array, b1: Array, inner: int, strips: int):
-    """Reorder proj_in columns from [a | g] halves to strip-major
-    [a_0 g_0 a_1 g_1 ...] so the kernel slices one contiguous block per
-    strip. Pure column permutation — cheap relative to the FF itself."""
-    c = w1.shape[0]
-    s = inner // strips
-    w1p = w1.reshape(c, 2, strips, s).transpose(0, 2, 1, 3).reshape(c, 2 * inner)
-    b1p = b1.reshape(2, strips, s).transpose(1, 0, 2).reshape(2 * inner)
-    return w1p, b1p
 
 
 def _xla_reference(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
@@ -152,10 +130,9 @@ def _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
     n = x.size // c
     x_in = x.reshape(n, c)
 
-    # ~16MB budget for the widest live transient, (tokens, 2*inner/strips)
-    # fp32 (isolated sweep: 5x faster than 8MB; flat at 32MB)
-    strips = _n_strips(inner)
-    target = max((1 << 24) // max(2 * (inner // strips) * 4, 1), 1)
+    # ~16MB budget for the widest live transient, (tokens, 2*inner) fp32
+    # (isolated sweep: 5x faster than 8MB; flat at 32MB)
+    target = max((1 << 24) // max(2 * inner * 4, 1), 1)
     tile = _tile_rows(n, target)
     n_p = n
 
@@ -165,11 +142,9 @@ def _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
 
     w1c = w1.astype(x.dtype)
     b1c = b1.astype(jnp.float32)
-    if strips > 1:
-        w1c, b1c = _pack_strips(w1c, b1c, inner, strips)
     w2c = w2.astype(x.dtype)
     out = pl.pallas_call(
-        functools.partial(_ff_kernel, eps=eps, inner=inner, strips=strips),
+        functools.partial(_ff_kernel, eps=eps, inner=inner),
         grid=(n_p // tile,),
         in_specs=[
             pl.BlockSpec(blk, idx),
@@ -210,8 +185,11 @@ def _vjp_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
 # cap the per-chunk fp32 (rows, 2*inner) backward recompute temp near this
 _BWD_TEMP_BYTES = 256 << 20
 # widest layer whose fp32 dW1/dW2 grid accumulators + resident weights fit
-# the VMEM budget (c=640: ~30 MB; c=1280 would need ~118 MB)
+# the VMEM budget (c=640: ~30 MB; c=1280 would need ~118 MB). Wider layers
+# take the activation-export Pallas backward (_ff_bwd_wide) unless
+# _WIDE_PALLAS_BWD is monkeypatched off (-> chunked XLA-recompute VJP).
 MAX_FUSED_BWD_DIM = 640
+_WIDE_PALLAS_BWD = True
 
 
 def _bwd_chunks(n: int, inner2: int) -> int:
@@ -357,12 +335,198 @@ def _ff_bwd_pallas(x, ln_s, ln_b, w1, b1, w2, g, eps):
             dw2.astype(w2.dtype), db2.reshape((c,)))
 
 
+def _ff_bwd_wide_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, g_ref,
+                        dx_ref, xn_ref, hg_ref, dh_ref, dlns_ref, dlnb_ref,
+                        db1_ref, db2_ref, *, eps: float, inner: int):
+    """Wide-layer (c > MAX_FUSED_BWD_DIM) backward: the fp32 dW1/dW2
+    accumulators of ``_ff_bwd_kernel`` would blow VMEM (~79 MB at c=1280),
+    so this kernel instead EXPORTS the recomputed activations (xn, hg, dH)
+    in the compute dtype and the caller runs the two dW contractions as
+    plain XLA MXU matmuls. Everything token-local (dx, the LN backward, the
+    bias/scale reductions) still happens in one VMEM pass with the fp32
+    ``h``/``dH`` transients never touching HBM."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x2 = x_ref[...]
+    c = x2.shape[-1]
+    cdt = x2.dtype
+
+    # ---- forward recompute (identical math to _ff_kernel) ----
+    xf = x2.astype(jnp.float32)
+    mean = jnp.sum(xf, axis=-1, keepdims=True) / c
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) / c - mean * mean
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * r
+    lns = lns_ref[...]
+    xn = (xhat * lns + lnb_ref[...]).astype(cdt)
+    h = jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    a, g = h[:, :inner], h[:, inner:]
+    ga = _gelu_tanh(g)
+    hg = (a * ga).astype(cdt)
+
+    # ---- backward (token-local parts) ----
+    gy = g_ref[...].astype(jnp.float32)
+    gyc = gy.astype(cdt)
+    db2_ref[...] += jnp.sum(gy, axis=0, keepdims=True)
+    dhg = jax.lax.dot_general(
+        gyc, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    da = dhg * ga
+    dg = dhg * a * _gelu_tanh_grad(g)
+    dh = jnp.concatenate([da, dg], axis=-1)
+    dhc = dh.astype(cdt)
+    db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dxn = jax.lax.dot_general(
+        dhc, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dlns_ref[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlnb_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
+    dxhat = dxn * lns
+    m1 = jnp.sum(dxhat, axis=-1, keepdims=True) / c
+    m2 = jnp.sum(dxhat * xhat, axis=-1, keepdims=True) / c
+    dxf = r * (dxhat - m1 - xhat * m2)
+    dx_ref[...] = (gy + dxf).astype(dx_ref.dtype)
+    xn_ref[...] = xn
+    hg_ref[...] = hg
+    dh_ref[...] = dhc
+
+
+# per-chunk bf16 dH export cap for the wide backward (the dominant temp);
+# full-res ds4 (28800 rows, 2*inner=10240) chunks to keep exported
+# activations ~3x this (dH + hg + xn), well under the OOM margin
+_WIDE_CHUNK_BYTES = 64 << 20
+
+
+def _ff_bwd_wide_chunk(x_in, g_in, ln_s, ln_b, w1c, b1f, w2c, eps, inner):
+    """One Pallas pass over ``(rows, c)`` + the two XLA dW matmuls.
+    Returns (dx, dlns, dlnb, dw1, db1, dw2, db2) partials, all fp32 params."""
+    n, c = x_in.shape
+    # fp32 h/dH transients are the VMEM limiters: ~6 tile-rows at 2*inner
+    target = max((3 << 22) // max(2 * inner * 4, 1), 1)
+    tile = _tile_rows(n, target)
+    blk = (tile, c)
+    idx = lambda i: (i, 0)
+    wide = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+    f32 = jnp.float32
+
+    dx, xn, hg, dh, dlns, dlnb, db1, db2 = pl.pallas_call(
+        functools.partial(_ff_bwd_wide_kernel, eps=eps, inner=inner),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec(blk, idx),
+            wide((1, c)), wide((1, c)),
+            wide((c, 2 * inner)), wide((1, 2 * inner)),
+            wide((inner, c)),
+            pl.BlockSpec(blk, idx),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk, idx),
+            pl.BlockSpec(blk, idx),
+            pl.BlockSpec((tile, inner), idx),
+            pl.BlockSpec((tile, 2 * inner), idx),
+            wide((1, c)), wide((1, c)),
+            wide((1, 2 * inner)), wide((1, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), x_in.dtype),
+            jax.ShapeDtypeStruct((n, c), x_in.dtype),
+            jax.ShapeDtypeStruct((n, inner), x_in.dtype),
+            jax.ShapeDtypeStruct((n, 2 * inner), x_in.dtype),
+            jax.ShapeDtypeStruct((1, c), f32), jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, 2 * inner), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),   # accumulators: sequential
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * c * 4 * inner + 20 * n * c,
+            bytes_accessed=8 * n * c * x_in.dtype.itemsize
+            + 3 * n * inner * x_in.dtype.itemsize,
+            transcendentals=2 * n * inner,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x_in,
+      ln_s.astype(f32).reshape(1, c), ln_b.astype(f32).reshape(1, c),
+      w1c, b1f.reshape(1, 2 * inner), w2c, g_in)
+
+    # the two big contractions over tokens, on the MXU with fp32 accumulation
+    # (same operand dtypes as _ff_bwd_kernel's in-VMEM dW dots)
+    dw1 = jax.lax.dot_general(xn, dh, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    dw2 = jax.lax.dot_general(hg, g_in.astype(x_in.dtype),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    return dx, dlns, dlnb, dw1, db1, dw2, db2
+
+
+def _ff_bwd_wide(x, ln_s, ln_b, w1, b1, w2, g, eps):
+    """Fused backward for MAX_FUSED_BWD_DIM < c <= MAX_FUSED_FF_DIM.
+    Row-chunked (lax.scan) so the exported bf16 activations stay bounded at
+    full resolution (the unchunked dH alone is ~590 MB at 576x1024 ds4)."""
+    orig_shape = x.shape
+    c = x.shape[-1]
+    inner = w2.shape[0]
+    n = x.size // c
+    x_in = x.reshape(n, c)
+    g_in = g.reshape(n, c)
+    w1c = w1.astype(x.dtype)
+    b1f = b1.astype(jnp.float32)
+    w2c = w2.astype(x.dtype)
+
+    rows_cap = max(_WIDE_CHUNK_BYTES // (2 * inner * x.dtype.itemsize), 1)
+    chunk = _tile_rows(n, rows_cap)
+    nchunks = n // chunk
+
+    if nchunks == 1:
+        dx, dlns, dlnb, dw1, db1, dw2, db2 = _ff_bwd_wide_chunk(
+            x_in, g_in, ln_s, ln_b, w1c, b1f, w2c, eps, inner)
+    else:
+        f32 = jnp.float32
+        acc0 = (jnp.zeros((1, c), f32), jnp.zeros((1, c), f32),
+                jnp.zeros((c, 2 * inner), f32), jnp.zeros((1, 2 * inner), f32),
+                jnp.zeros((inner, c), f32), jnp.zeros((1, c), f32))
+
+        def body(acc, xs):
+            xc, gc = xs
+            dxc, dlns_c, dlnb_c, dw1_c, db1_c, dw2_c, db2_c = _ff_bwd_wide_chunk(
+                xc, gc, ln_s, ln_b, w1c, b1f, w2c, eps, inner)
+            new = tuple(a + p for a, p in zip(
+                acc, (dlns_c, dlnb_c, dw1_c, db1_c, dw2_c, db2_c)))
+            return new, dxc
+
+        (dlns, dlnb, dw1, db1, dw2, db2), dx = jax.lax.scan(
+            body, acc0,
+            (x_in.reshape(nchunks, chunk, c), g_in.reshape(nchunks, chunk, c)))
+        dx = dx.reshape(n, c)
+
+    return (dx.reshape(orig_shape),
+            dlns.reshape(ln_s.shape).astype(ln_s.dtype),
+            dlnb.reshape(ln_b.shape).astype(ln_b.dtype),
+            dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape((c,)))
+
+
 def _vjp_bwd(eps, residuals, g):
     x, ln_s, ln_b, w1, b1, w2, b2 = residuals
     c = x.shape[-1]
     n = x.size // c
     if c <= MAX_FUSED_BWD_DIM:
         dx, dlns, dlnb, dw1, db1, dw2, db2 = _ff_bwd_pallas(
+            x, ln_s, ln_b, w1, b1, w2, g, eps)
+        return dx, dlns, dlnb, dw1, db1, dw2, db2.astype(b2.dtype)
+    if _WIDE_PALLAS_BWD:
+        dx, dlns, dlnb, dw1, db1, dw2, db2 = _ff_bwd_wide(
             x, ln_s, ln_b, w1, b1, w2, g, eps)
         return dx, dlns, dlnb, dw1, db1, dw2, db2.astype(b2.dtype)
     f = lambda *a: _xla_reference(*a, eps=eps)
