@@ -1,4 +1,5 @@
-"""Tiny-shape TPU validation of the four Pallas backward kernels.
+"""Tiny-shape TPU validation of the Pallas backward kernels (five paths:
+fused FF narrow + wide/chunked, fused QKV, fused temporal attn, tiny attn).
 
 Runs grads through each fused op twice — Pallas backward vs the
 XLA-recompute fallback (flipped via each module's monkeypatch gate) —
@@ -80,10 +81,50 @@ def main():
         "fused_ff c=320",
         lambda *a: jnp.sum(fused_geglu_ff(*a) * ct),
         (x, ln_s, ln_b, w1, b1, w2, b2),
-        lambda: setattr(ff_mod, "MAX_FUSED_BWD_DIM", ff_max),
-        lambda: setattr(ff_mod, "MAX_FUSED_BWD_DIM", 0),
+        lambda: (setattr(ff_mod, "MAX_FUSED_BWD_DIM", ff_max),
+                 setattr(ff_mod, "_WIDE_PALLAS_BWD", True)),
+        # gate BOTH Pallas paths off: MAX_FUSED_BWD_DIM=0 alone would route
+        # c=320 into the WIDE Pallas kernel, comparing Pallas vs Pallas
+        lambda: (setattr(ff_mod, "MAX_FUSED_BWD_DIM", 0),
+                 setattr(ff_mod, "_WIDE_PALLAS_BWD", False)),
         7,
     )
+
+    # ---- fused FF wide backward (c=1280 > MAX_FUSED_BWD_DIM: the
+    # activation-export kernel + XLA dW matmuls; second case monkeypatches
+    # the chunk cap down to force the multi-chunk lax.scan path) ----
+    cw, innerw = 1280, 5120
+    xw = jnp.asarray(rng.randn(256, cw), jnp.bfloat16)
+    lnw_s = jnp.asarray(rng.randn(cw) * 0.2 + 1, jnp.float32)
+    lnw_b = jnp.asarray(rng.randn(cw) * 0.1, jnp.float32)
+    w1w = jnp.asarray(rng.randn(cw, 2 * innerw) * (cw ** -0.5), jnp.float32)
+    b1w = jnp.asarray(rng.randn(2 * innerw) * 0.05, jnp.float32)
+    w2w = jnp.asarray(rng.randn(innerw, cw) * (innerw ** -0.5), jnp.float32)
+    b2w = jnp.asarray(rng.randn(cw) * 0.05, jnp.float32)
+    ctw = jnp.asarray(rng.randn(256, cw), jnp.float32)
+    wide_args = (xw, lnw_s, lnw_b, w1w, b1w, w2w, b2w)
+    wide_loss = lambda *a: jnp.sum(fused_geglu_ff(*a) * ctw)
+    ok &= compare(
+        "fused_ff wide c=1280",
+        wide_loss, wide_args,
+        lambda: setattr(ff_mod, "_WIDE_PALLAS_BWD", True),
+        lambda: setattr(ff_mod, "_WIDE_PALLAS_BWD", False),
+        7,
+    )
+    chunk_cap = ff_mod._WIDE_CHUNK_BYTES
+    ok &= compare(
+        "fused_ff wide c=1280 (chunked scan)",
+        lambda *a: wide_loss(*a) + 0.0, wide_args,
+        lambda: (setattr(ff_mod, "_WIDE_PALLAS_BWD", True),
+                 # 64 rows/chunk at 2*inner bf16 -> 4 scan chunks over 256 rows
+                 setattr(ff_mod, "_WIDE_CHUNK_BYTES",
+                         64 * 2 * innerw * 2)),
+        lambda: (setattr(ff_mod, "_WIDE_PALLAS_BWD", False),
+                 setattr(ff_mod, "_WIDE_CHUNK_BYTES", chunk_cap)),
+        7,
+    )
+    ff_mod._WIDE_CHUNK_BYTES = chunk_cap
+    ff_mod._WIDE_PALLAS_BWD = True
 
     # ---- fused QKV (c=320) ----
     x = jnp.asarray(rng.randn(512, c), jnp.bfloat16)

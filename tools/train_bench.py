@@ -35,6 +35,10 @@ def main():
                    help="A/B knob: route every fused kernel's backward "
                         "through its XLA-recompute fallback instead of the "
                         "Pallas backward kernels")
+    p.add_argument("--xla-wide-ff-bwd", action="store_true",
+                   help="A/B knob: route ONLY the wide (c>640) fused-FF "
+                        "backward through the serial chunked XLA-recompute "
+                        "VJP instead of the activation-export Pallas kernel")
     args = p.parse_args()
 
     import jax
@@ -50,6 +54,10 @@ def main():
         _qkv.MAX_FUSED_BWD_DIM = 0
         _ta._PALLAS_BWD = False
         _tiny._PALLAS_BWD = False
+    if args.xla_wide_ff_bwd:
+        import vista_tpu.ops.fused_ff as _ff
+
+        _ff._WIDE_PALLAS_BWD = False
 
     from vista_tpu.diffusion.loss import LossConfig, diffusion_loss
     from vista_tpu.diffusion.denoiser import precondition_denoise
