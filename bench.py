@@ -64,6 +64,9 @@ def main():
     p.add_argument("--decode-chunk", type=int, default=14)
     p.add_argument("--decode-overlap", type=int, default=3)
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--temporal-conv", default="pallas", choices=["pallas", "packed"],
+                   help="A/B knob: the Pallas 3-tap kernel vs the round-2 "
+                        "packed-matmul + shifted-add form")
     p.add_argument("--cfg-mode", default="batched", choices=["batched", "sequential"])
     p.add_argument("--action-control", action="store_true",
                    help="action-conditioned config (+2432 context dims, K/V adapters)")
@@ -89,6 +92,11 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
+
+    if args.temporal_conv == "packed":
+        import vista_tpu.ops.temporal_conv as _tc
+
+        _tc._PALLAS = False
 
     from vista_tpu.diffusion import GuiderConfig, SamplerConfig, precondition_denoise, sample_euler_edm
     from vista_tpu.engine.engine import EngineConfig, VistaEngine

@@ -1,4 +1,4 @@
-"""Frame-major temporal convolution (kernel size 3 over t) as one packed matmul.
+"""Frame-major temporal convolution (kernel size 3 over t), Pallas TPU kernel.
 
 The VideoResBlock temporal branch convolves only the frame axis — the
 reference runs ``torch.nn.Conv3d(kernel=(3,1,1))`` on ``(b, c, t, h, w)``
@@ -9,30 +9,49 @@ util.py AE3DConv). Expressed as an XLA 3-D convolution on the
 MXU's sublanes (measured 50 TF/s vs 136-170 TF/s for the spatial 1x1/3x3
 convs, ~95ms/eval across the UNet at 576x1024).
 
-This op never leaves the tensor's native frame-major packing ``(b*t, s, c)``:
+Round-2 shipped a packed-matmul form (``z = x @ [W0|W1|W2]`` + row-shifted
+masked adds). It fixed the MXU layout but its fp32 ``(bt, s, 3c)``
+intermediate is a ~3.5 GB HBM round trip per ds1 site — profiled at
+~95ms/eval of pure bandwidth across the UNet (temporal_conv.py:78/:84 in
+tools/xprof.py) on top of the 73ms matmul.
 
-    z   = x @ [W0 | W1 | W2]                  # one (M, c) x (c, 3c) matmul
-    out[i] = z0[i-1] + z1[i] + z2[i+1] + bias # row-shifted add over frames
+This Pallas kernel keeps the whole tap accumulation in VMEM: the input is
+zero-padded by one frame per video edge (``(b, t, s, c) -> (b, t+2, s, c)``,
+which also compiles the video-boundary masking away entirely), and the
+grid maps each output frame block to its three neighbor frames through
+STATIC affine block index maps ``(ib, it+tap, is, 0)``. HBM traffic: 3
+reads of x + 1 write of y — no intermediate. An earlier Pallas attempt
+with *clamped dynamic* index maps (``jnp.maximum(i-1, 0)``) was ~15x
+slower than XLA and wedged the device queue (see CLAUDE.md); static maps
+on a padded input are the safe formulation.
 
-Neighbor rows along the packed ``b*t`` axis are adjacent *frames*; the taps
-that would cross a video boundary (t=0 / t=T-1 inside each video — SAME
-zero padding) are masked by ``arange(bt) % T``. The matmul runs at the
-spatial-conv rate (K=c, N=3c keeps the MXU full), and the shifted add is a
-single fused elementwise pass.
-
-A Pallas version of this op (three VMEM-resident tap matmuls with clamped
-neighbor blocks) wedged the v5e on first contact — dynamic block index
-maps left the device spinning; do not reintroduce without validating a
-tiny shape under a hard timeout first. The packed-matmul form is within
-~30% of that kernel's roofline with none of the hazard.
+Backward (custom_vjp — a raw pallas_call has no autodiff rule):
+- dx is the SAME kernel with flipped transposed taps ``[W2^T|W1^T|W0^T]``
+  applied to the padded cotangent (a 3-tap correlation is its own
+  transpose), so the no-intermediate property holds in the backward too;
+- dW contracts shifted x slices against the cotangent over all tokens —
+  three plain XLA MXU matmuls (K = b*t*s is huge; nothing to fuse);
+- db is a row reduction.
+The packed-matmul form stays as the ``_PALLAS = False`` fallback for both
+directions.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+# per-block VMEM budget for the s-axis tile: 3 input blocks (st, cin) bf16
+# + 1 output block (st, cout) — x2 pipelining stays well under the limit
+_S_TILE_BYTES = 12 << 20
+_PALLAS = True
 
 
 def temporal_conv3_supported(s: int, c_in: int, c_out: int) -> bool:
@@ -53,19 +72,17 @@ def _xla_reference(x: Array, w: Array, b: Array, num_frames: int) -> Array:
     return (y + b.astype(x.dtype)).reshape(bt, s, cout)
 
 
-def temporal_conv3(x: Array, w: Array, b: Array, num_frames: int) -> Array:
-    """SAME 3-tap convolution over the frame axis of frame-major ``x``.
+def _packed_matmul(x: Array, w: Array, b: Array, num_frames: int) -> Array:
+    """Round-2 fallback: one (M, c) x (c, 3c) matmul + row-shifted adds.
 
-    x: ``(b*num_frames, s, c_in)`` with frames of each video contiguous.
-    w: ``(3, c_in, c_out)`` taps (t-1, t, t+1). b: ``(c_out,)``.
+    NOTE measured (bench.py A/B at 576x1024): keeping z in f32 is 0.6118
+    f/s vs 0.5949 with a bf16 epilogue cast — the cast looks like a
+    bandwidth win (halves the (bt,s,3c) intermediate) but breaks XLA's
+    fusion of the shifted add into the matmul consumers.
     """
     bt, s, cin = x.shape
     cout = w.shape[-1]
     wcat = jnp.concatenate([w[0], w[1], w[2]], axis=-1).astype(x.dtype)
-    # NOTE measured (bench.py A/B at 576x1024): keeping z in f32 is 0.6118
-    # f/s vs 0.5949 with a bf16 epilogue cast — the cast looks like a
-    # bandwidth win (halves the (bt,s,3c) intermediate) but breaks XLA's
-    # fusion of the shifted add into the matmul consumers. Do not "optimize".
     z = jax.lax.dot_general(
         x.reshape(bt * s, cin), wcat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).reshape(bt, s, 3 * cout)
@@ -82,3 +99,121 @@ def temporal_conv3(x: Array, w: Array, b: Array, num_frames: int) -> Array:
     m2 = (tidx < num_frames - 1)[:, None, None]
     acc = z1 + jnp.where(m0, z0s, 0.0) + jnp.where(m2, z2s, 0.0)
     return acc.astype(x.dtype) + b.astype(x.dtype)
+
+
+def _s_tile(s: int, cin: int, cout: int) -> int:
+    """Largest sublane-aligned divisor of ``s`` within the VMEM budget."""
+    cap = max(_S_TILE_BYTES // (6 * cin + 2 * cout), 8)
+    if s <= cap:
+        return s
+    best = 8
+    d = 8
+    while d <= cap:
+        if s % d == 0:
+            best = d
+        d += 8
+    return best
+
+
+def _conv3_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *, cin: int):
+    x0 = x0_ref[0, 0]
+    x1 = x1_ref[0, 0]
+    x2 = x2_ref[0, 0]
+    dot = lambda a, wt: jax.lax.dot_general(
+        a, wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc = dot(x0, w_ref[:cin])
+    acc += dot(x1, w_ref[cin:2 * cin])
+    acc += dot(x2, w_ref[2 * cin:])
+    o_ref[0, 0] = (acc + b_ref[...]).astype(o_ref.dtype)
+
+
+def _conv3_pallas(x: Array, w: Array, b: Array, num_frames: int) -> Array:
+    bt, s, cin = x.shape
+    cout = w.shape[-1]
+    bsz = bt // num_frames
+    # zero-pad one frame per video edge: SAME padding AND video-boundary
+    # isolation come for free; XLA fuses the pad into the producer chain
+    xp = jnp.pad(x.reshape(bsz, num_frames, s, cin),
+                 ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    st = _s_tile(s, cin, cout)
+    grid = (bsz, num_frames, s // st)
+
+    xspec = lambda tap: pl.BlockSpec(
+        (1, 1, st, cin), lambda ib, it, si, tap=tap: (ib, it + tap, si, 0))
+    wspec = pl.BlockSpec((3 * cin, cout), lambda ib, it, si: (0, 0))
+    bspec = pl.BlockSpec((1, cout), lambda ib, it, si: (0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_conv3_kernel, cin=cin),
+        grid=grid,
+        in_specs=[xspec(0), xspec(1), xspec(2), wspec, bspec],
+        out_specs=pl.BlockSpec(
+            (1, 1, st, cout), lambda ib, it, si: (ib, it, si, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, num_frames, s, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bt * s * cin * cout,
+            bytes_accessed=(3 * bt * s * cin + bt * s * cout) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, xp, xp, w.reshape(3 * cin, cout).astype(x.dtype),
+      b.astype(jnp.float32).reshape(1, cout))
+    return out.reshape(bt, s, cout)
+
+
+def _fwd_impl(x: Array, w: Array, b: Array, num_frames: int) -> Array:
+    if _PALLAS:
+        return _conv3_pallas(x, w, b, num_frames)
+    return _packed_matmul(x, w, b, num_frames)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def temporal_conv3(x: Array, w: Array, b: Array, num_frames: int) -> Array:
+    """SAME 3-tap convolution over the frame axis of frame-major ``x``.
+
+    x: ``(b*num_frames, s, c_in)`` with frames of each video contiguous.
+    w: ``(3, c_in, c_out)`` taps (t-1, t, t+1). b: ``(c_out,)``.
+    """
+    return _fwd_impl(x, w, b, num_frames)
+
+
+def _vjp_fwd(x, w, b, num_frames):
+    return _fwd_impl(x, w, b, num_frames), (x, w)
+
+
+def _vjp_bwd(num_frames, residuals, gy):
+    x, w = residuals
+    bt, s, cin = x.shape
+    cout = w.shape[-1]
+    bsz = bt // num_frames
+    gyc = gy.astype(x.dtype)
+
+    # dx: 3-tap correlation of gy with flipped transposed taps — the same
+    # conv kernel (and the same _PALLAS gate) with w' = [W2^T | W1^T | W0^T]
+    wt = jnp.stack([jnp.transpose(w[2]), jnp.transpose(w[1]),
+                    jnp.transpose(w[0])])
+    dx = _fwd_impl(gyc, wt, jnp.zeros((cin,), jnp.float32), num_frames)
+
+    # dW[tap] = sum_j x[j+tap-1]^T gy[j]: shifted-slice MXU contractions
+    # over all tokens, fp32 accumulation (operand dtypes match the fwd)
+    xv = x.reshape(bsz, num_frames, s, cin)
+    gv = gyc.reshape(bsz, num_frames, s, cout)
+    flat = lambda a: a.reshape(-1, a.shape[-1])
+    dotT = lambda a, g: jax.lax.dot_general(
+        flat(a), flat(g), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw = jnp.stack([
+        dotT(xv[:, :-1], gv[:, 1:]),
+        dotT(xv, gv),
+        dotT(xv[:, 1:], gv[:, :-1]),
+    ]).astype(w.dtype)
+    db = jnp.sum(gy.astype(jnp.float32), axis=(0, 1))
+    return dx.astype(x.dtype), dw, db
+
+
+temporal_conv3.defvjp(_vjp_fwd, _vjp_bwd)
