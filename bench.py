@@ -67,6 +67,9 @@ def main():
     p.add_argument("--temporal-conv", default="pallas", choices=["pallas", "packed"],
                    help="A/B knob: the Pallas 3-tap kernel vs the round-2 "
                         "packed-matmul + shifted-add form")
+    p.add_argument("--fused-gn", default="on", choices=["on", "off"],
+                   help="A/B knob: fused GN+SiLU+conv3 TemporalResBlock "
+                        "kernels vs XLA elementwise + plain temporal_conv3")
     p.add_argument("--cfg-mode", default="batched", choices=["batched", "sequential"])
     p.add_argument("--action-control", action="store_true",
                    help="action-conditioned config (+2432 context dims, K/V adapters)")
@@ -93,10 +96,13 @@ def main():
         pass
     import jax.numpy as jnp
 
-    if args.temporal_conv == "packed":
+    if args.temporal_conv == "packed" or args.fused_gn == "off":
         import vista_tpu.ops.temporal_conv as _tc
 
-        _tc._PALLAS = False
+        if args.temporal_conv == "packed":
+            _tc._PALLAS = False
+        if args.fused_gn == "off":
+            _tc._FUSED_GN = False
 
     from vista_tpu.diffusion import GuiderConfig, SamplerConfig, precondition_denoise, sample_euler_edm
     from vista_tpu.engine.engine import EngineConfig, VistaEngine

@@ -12,7 +12,10 @@ from flax import linen as nn
 
 from vista_tpu.models.blocks import TemporalConv
 from vista_tpu.ops.temporal_conv import (
+    _silu_f32,
     _xla_reference,
+    fused_gn_silu_conv3_emb,
+    fused_gn_silu_conv3_res,
     temporal_conv3,
     temporal_conv3_supported,
 )
@@ -72,6 +75,67 @@ class TestTemporalConv3:
         assert temporal_conv3_supported(9216, 320, 320)
         assert temporal_conv3_supported(144, 1280, 1280)
         assert not temporal_conv3_supported(9215, 320, 320)
+
+
+def _ref_gn_conv(x, sc, sh, w, b, t, emb=None, residual=None, rs=None):
+    """Independent composition: affine+SiLU in XLA, conv via _xla_reference."""
+    a = x.astype(jnp.float32) * sc[:, None, :] + sh[:, None, :]
+    xn = _silu_f32(a).astype(x.dtype)
+    y = _xla_reference(xn, w, b, t).astype(jnp.float32)
+    if emb is not None:
+        y = y + emb.astype(jnp.float32)[:, None, :]
+    if residual is not None:
+        y = residual.astype(jnp.float32) + rs * y
+    return y.astype(x.dtype)
+
+
+class TestFusedGNSiluConv3:
+    def _args(self, seed=0, bt=8, s=16, c=8):
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(bt, s, c), jnp.float32)
+        sc = jnp.asarray(rng.rand(bt, c) + 0.5, jnp.float32)
+        sh = jnp.asarray(rng.randn(bt, c) * 0.1, jnp.float32)
+        w = jnp.asarray(rng.randn(3, c, c) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.randn(c) * 0.05, jnp.float32)
+        return x, sc, sh, w, b
+
+    def test_emb_matches_reference(self):
+        x, sc, sh, w, b = self._args()
+        emb = jnp.asarray(np.random.RandomState(1).randn(8, 8), jnp.float32)
+        out = fused_gn_silu_conv3_emb(x, sc, sh, w, b, emb, 4)
+        ref = _ref_gn_conv(x, sc, sh, w, b, 4, emb=emb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_res_matches_reference(self):
+        x, sc, sh, w, b = self._args(seed=2)
+        res = jnp.asarray(np.random.RandomState(3).randn(8, 16, 8), jnp.float32)
+        rs = jnp.asarray(0.7, jnp.float32)
+        out = fused_gn_silu_conv3_res(x, sc, sh, w, b, res, rs, 4)
+        ref = _ref_gn_conv(x, sc, sh, w, b, 4, residual=res, rs=rs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_grads_match_reference(self):
+        x, sc, sh, w, b = self._args(seed=4)
+        res = jnp.asarray(np.random.RandomState(5).randn(8, 16, 8), jnp.float32)
+        rs = jnp.asarray(0.6, jnp.float32)
+        lk = lambda *a: jnp.sum(fused_gn_silu_conv3_res(*a, 4) ** 2)
+        lr = lambda *a: jnp.sum(_ref_gn_conv(a[0], a[1], a[2], a[3], a[4], 4,
+                                             residual=a[5], rs=a[6]) ** 2)
+        gk = jax.grad(lk, argnums=tuple(range(7)))(x, sc, sh, w, b, res, rs)
+        gr = jax.grad(lr, argnums=tuple(range(7)))(x, sc, sh, w, b, res, rs)
+        for a, r in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_video_boundary_isolation(self):
+        x, sc, sh, w, b = self._args(seed=6)
+        emb = jnp.zeros((8, 8), jnp.float32)
+        base = np.asarray(fused_gn_silu_conv3_emb(x, sc, sh, w, b, emb, 4))
+        x2 = x.at[:4].add(1.0)
+        out2 = np.asarray(fused_gn_silu_conv3_emb(x2, sc, sh, w, b, emb, 4))
+        np.testing.assert_allclose(out2[4:], base[4:], atol=1e-5, rtol=1e-5)
 
 
 class TestTemporalConvModule:

@@ -52,6 +52,10 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 # + 1 output block (st, cout) — x2 pipelining stays well under the limit
 _S_TILE_BYTES = 12 << 20
 _PALLAS = True
+# A/B gate for the fused GN+SiLU prologue kernels (TemporalResBlock): when
+# False the block runs the round-3 baseline path — XLA affine/SiLU
+# elementwise + the plain temporal_conv3 kernel (bench.py --fused-gn off)
+_FUSED_GN = True
 
 
 def temporal_conv3_supported(s: int, c_in: int, c_out: int) -> bool:
@@ -217,3 +221,207 @@ def _vjp_bwd(num_frames, residuals, gy):
 
 
 temporal_conv3.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused GroupNorm+SiLU prologue / emb / residual+blend epilogue variants
+# --------------------------------------------------------------------------
+#
+# The TemporalResBlock chain is GN -> SiLU -> conv3 (+emb) -> GN -> SiLU ->
+# conv3 -> +x -> AlphaBlender (reference video_model.py:9-75 + the learned
+# blend). Each arrow that leaves the conv is an extra HBM pass over a
+# (bt, s, c) tensor. These two ops fold the whole chain around each conv
+# into the kernel: the caller reduces the GroupNorm statistics in XLA
+# (a single read of x — the same read the standalone GN does) and folds
+# them into per-frame-channel affine ``scale``/``shift``; the kernel
+# normalizes + SiLUs each tap block in VMEM and applies the epilogue
+# (per-frame emb bias for in_conv; ``residual + res_scale * y`` for
+# out_conv, which is the algebraic form of ``x + h`` followed by
+# ``a*x + (1-a)*(x+h)``). The zero-padded edge frames stay exact: scale
+# and shift are zero-padded too, so the affine maps padding to 0 and
+# silu(0) = 0.
+#
+# Backward: jax.vjp of the XLA-recomputed affine+SiLU composed with
+# ``temporal_conv3`` — the conv's own (Pallas) custom VJP does the heavy
+# lifting; the elementwise prologue/epilogue VJPs are cheap XLA fusions.
+
+
+def _silu_f32(a):
+    # tanh-form sigmoid: Mosaic-safe (no erf/logistic primitive needed)
+    return a * 0.5 * (1.0 + jnp.tanh(0.5 * a))
+
+
+def _gn_conv3_kernel(x0_ref, x1_ref, x2_ref, s0_ref, s1_ref, s2_ref,
+                     h0_ref, h1_ref, h2_ref, w_ref, b_ref, *rest,
+                     cin: int, has_emb: bool, has_res: bool):
+    o_ref = rest[-1]
+    dot = lambda a, wt: jax.lax.dot_general(
+        a, wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def tap(x_ref, s_ref, h_ref):
+        a = (x_ref[0, 0].astype(jnp.float32) * s_ref[0, 0] + h_ref[0, 0])
+        return _silu_f32(a).astype(o_ref.dtype)
+
+    acc = dot(tap(x0_ref, s0_ref, h0_ref), w_ref[:cin])
+    acc += dot(tap(x1_ref, s1_ref, h1_ref), w_ref[cin:2 * cin])
+    acc += dot(tap(x2_ref, s2_ref, h2_ref), w_ref[2 * cin:])
+    acc += b_ref[...]
+    i = 0
+    if has_emb:
+        acc += rest[i][0, 0]
+        i += 1
+    if has_res:
+        res_ref, rs_ref = rest[i], rest[i + 1]
+        acc = res_ref[0, 0].astype(jnp.float32) + rs_ref[0, 0] * acc
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+def _gn_conv3_pallas(x, scale, shift, w, b, num_frames, emb, residual,
+                     res_scale):
+    bt, s, cin = x.shape
+    cout = w.shape[-1]
+    bsz = bt // num_frames
+    xp = jnp.pad(x.reshape(bsz, num_frames, s, cin),
+                 ((0, 0), (1, 1), (0, 0), (0, 0)))
+    # zero-padded affine: padded frames normalize to 0 and silu(0) = 0,
+    # so the edge taps contribute nothing (the conv's SAME padding)
+    pad_fc = lambda a: jnp.pad(
+        a.astype(jnp.float32).reshape(bsz, num_frames, 1, a.shape[-1]),
+        ((0, 0), (1, 1), (0, 0), (0, 0)))
+    sp, hp = pad_fc(scale), pad_fc(shift)
+
+    st = _s_tile(s, cin, cout)
+    grid = (bsz, num_frames, s // st)
+
+    xspec = lambda tap: pl.BlockSpec(
+        (1, 1, st, cin), lambda ib, it, si, tap=tap: (ib, it + tap, si, 0))
+    fcspec = lambda tap: pl.BlockSpec(
+        (1, 1, 1, cin), lambda ib, it, si, tap=tap: (ib, it + tap, 0, 0))
+    wspec = pl.BlockSpec((3 * cin, cout), lambda ib, it, si: (0, 0))
+    bspec = pl.BlockSpec((1, cout), lambda ib, it, si: (0, 0))
+
+    in_specs = [xspec(0), xspec(1), xspec(2),
+                fcspec(0), fcspec(1), fcspec(2),
+                fcspec(0), fcspec(1), fcspec(2), wspec, bspec]
+    operands = [xp, xp, xp, sp, sp, sp, hp, hp, hp,
+                w.reshape(3 * cin, cout).astype(x.dtype),
+                b.astype(jnp.float32).reshape(1, cout)]
+    if emb is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1, cout), lambda ib, it, si: (ib, it, 0, 0)))
+        operands.append(
+            emb.astype(jnp.float32).reshape(bsz, num_frames, 1, cout))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, st, cout), lambda ib, it, si: (ib, it, si, 0)))
+        operands.append(residual.reshape(bsz, num_frames, s, cout))
+        in_specs.append(pl.BlockSpec((1, 1), lambda ib, it, si: (0, 0)))
+        operands.append(res_scale.astype(jnp.float32).reshape(1, 1))
+
+    out = pl.pallas_call(
+        functools.partial(_gn_conv3_kernel, cin=cin,
+                          has_emb=emb is not None,
+                          has_res=residual is not None),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, st, cout), lambda ib, it, si: (ib, it, si, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, num_frames, s, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bt * s * cin * cout + 12 * bt * s * cin,
+            bytes_accessed=(3 * bt * s * cin
+                            + (1 + (residual is not None)) * bt * s * cout
+                            ) * x.dtype.itemsize,
+            transcendentals=3 * bt * s * cin,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*operands)
+    return out.reshape(bt, s, cout)
+
+
+def _gn_conv3_compose(x, scale, shift, w, b, num_frames, emb, residual,
+                      res_scale):
+    """XLA reference composition (backward recompute + fallback path)."""
+    a = x.astype(jnp.float32) * scale.astype(jnp.float32)[:, None, :] \
+        + shift.astype(jnp.float32)[:, None, :]
+    xn = _silu_f32(a).astype(x.dtype)
+    y = temporal_conv3(xn, w, b, num_frames).astype(jnp.float32)
+    if emb is not None:
+        y = y + emb.astype(jnp.float32)[:, None, :]
+    if residual is not None:
+        y = residual.astype(jnp.float32) + res_scale.astype(jnp.float32) * y
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_gn_silu_conv3_emb(x, scale, shift, w, b, emb, num_frames):
+    """``conv3(silu(x*scale + shift)) + b + emb`` in one VMEM pass.
+
+    x: (bt, s, cin); scale/shift: (bt, cin) per-frame-channel GroupNorm
+    affine (stats folded by the caller); emb: (bt, cout) per-frame bias.
+    """
+    if _PALLAS:
+        return _gn_conv3_pallas(x, scale, shift, w, b, num_frames, emb,
+                                None, None)
+    return _gn_conv3_compose(x, scale, shift, w, b, num_frames, emb,
+                             None, None)
+
+
+def _emb_vjp_fwd(x, scale, shift, w, b, emb, num_frames):
+    return (fused_gn_silu_conv3_emb(x, scale, shift, w, b, emb, num_frames),
+            (x, scale, shift, w, b, emb))
+
+
+def _emb_vjp_bwd(num_frames, res, gy):
+    x, scale, shift, w, b, emb = res
+    f = lambda *a: _gn_conv3_compose(*a, num_frames, emb=None, residual=None,
+                                     res_scale=None)
+    _, vjp = jax.vjp(f, x, scale, shift, w, b)
+    dx, dscale, dshift, dw, db = vjp(gy.astype(x.dtype))
+    demb = jnp.sum(gy.astype(jnp.float32), axis=1).astype(emb.dtype)
+    return dx, dscale, dshift, dw, db, demb
+
+
+fused_gn_silu_conv3_emb.defvjp(_emb_vjp_fwd, _emb_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_gn_silu_conv3_res(x, scale, shift, w, b, residual, res_scale,
+                            num_frames):
+    """``residual + res_scale * (conv3(silu(x*scale + shift)) + b)``.
+
+    The epilogue is the algebraic collapse of the temporal residual add
+    followed by the AlphaBlender: ``a*xs + (1-a)*(xs + h) = xs + (1-a)*h``
+    with ``residual = xs`` and ``res_scale = 1 - a``.
+    """
+    if _PALLAS:
+        return _gn_conv3_pallas(x, scale, shift, w, b, num_frames, None,
+                                residual, res_scale)
+    return _gn_conv3_compose(x, scale, shift, w, b, num_frames, None,
+                             residual, res_scale)
+
+
+def _res_vjp_fwd(x, scale, shift, w, b, residual, res_scale, num_frames):
+    out = fused_gn_silu_conv3_res(x, scale, shift, w, b, residual,
+                                  res_scale, num_frames)
+    return out, (x, scale, shift, w, b, res_scale)
+
+
+def _res_vjp_bwd(num_frames, res, gy):
+    x, scale, shift, w, b, res_scale = res
+    gf = gy.astype(jnp.float32)
+    f = lambda *a: _gn_conv3_compose(*a, num_frames, emb=None, residual=None,
+                                     res_scale=None)
+    y, vjp = jax.vjp(f, x, scale, shift, w, b)
+    dx, dscale, dshift, dw, db = vjp((res_scale.astype(jnp.float32)
+                                      * gf).astype(x.dtype))
+    dres = gy.astype(x.dtype)
+    drs = jnp.sum(gf * y.astype(jnp.float32)).astype(res_scale.dtype)
+    return dx, dscale, dshift, dw, db, dres, drs
+
+
+fused_gn_silu_conv3_res.defvjp(_res_vjp_fwd, _res_vjp_bwd)
