@@ -39,11 +39,25 @@ def main():
                    help="A/B knob: route ONLY the wide (c>640) fused-FF "
                         "backward through the serial chunked XLA-recompute "
                         "VJP instead of the activation-export Pallas kernel")
+    p.add_argument("--temporal-conv", default="pallas",
+                   choices=["pallas", "packed"],
+                   help="A/B knob: Pallas 3-tap temporal conv vs the "
+                        "round-2 packed-matmul form")
+    p.add_argument("--fused-gn", default="on", choices=["on", "off"],
+                   help="A/B knob: fused GN+SiLU+conv3 TemporalResBlock "
+                        "kernels vs XLA elementwise + plain temporal_conv3")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
+    if args.temporal_conv == "packed" or args.fused_gn == "off":
+        import vista_tpu.ops.temporal_conv as _tc
+
+        if args.temporal_conv == "packed":
+            _tc._PALLAS = False
+        if args.fused_gn == "off":
+            _tc._FUSED_GN = False
     if args.xla_bwd:
         import vista_tpu.ops.fused_ff as _ff
         import vista_tpu.ops.fused_qkv as _qkv
