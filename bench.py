@@ -66,7 +66,8 @@ def main():
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--temporal-conv", default="pallas", choices=["pallas", "packed"],
                    help="A/B knob: the Pallas 3-tap kernel vs the round-2 "
-                        "packed-matmul + shifted-add form")
+                        "packed-matmul + shifted-add form (packed implies "
+                        "--fused-gn off: the full round-2 conv stack)")
     p.add_argument("--fused-gn", default="on", choices=["on", "off"],
                    help="A/B knob: fused GN+SiLU+conv3 TemporalResBlock "
                         "kernels vs XLA elementwise + plain temporal_conv3")
@@ -100,7 +101,12 @@ def main():
         import vista_tpu.ops.temporal_conv as _tc
 
         if args.temporal_conv == "packed":
+            # _PALLAS=False also reroutes the fused GN+SiLU+conv3 forwards
+            # through the XLA compose, so a packed run is the full round-2
+            # conv stack: force the fused-GN gate off too to keep the knob
+            # semantics honest (no half-fused hybrid exists to measure).
             _tc._PALLAS = False
+            _tc._FUSED_GN = False
         if args.fused_gn == "off":
             _tc._FUSED_GN = False
 

@@ -160,3 +160,34 @@ class TestTemporalConvModule:
         out = TemporalConv(16, (3, 1, 1), dtype=jnp.float32).apply(params, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestTemporalResBlockFusedEquivalence:
+    def test_fused_and_nonfused_paths_agree(self, monkeypatch):
+        """The --fused-gn A/B baseline can't silently drift: both
+        TemporalResBlock paths (fused Pallas kernels, interpret mode on CPU,
+        vs the XLA compose) share params and must agree on a supported
+        shape. Covers the emb bias, second GN, residual, and the collapsed
+        AlphaBlender epilogue."""
+        import vista_tpu.ops.temporal_conv as _tc
+        from vista_tpu.models.blocks import TemporalResBlock
+
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(2, 4, 2, 4, 8), jnp.float32)   # s=8, c=8
+        emb = jnp.asarray(rng.randn(2, 4, 16), jnp.float32)
+        alpha = jnp.asarray(0.3, jnp.float32)
+        mod = TemporalResBlock(8, 16, (3, 1, 1), dtype=jnp.float32)
+        params = mod.init(jax.random.key(2), x, emb, alpha)
+        # zero-init out_conv makes h2 degenerate; randomize all params
+        params = jax.tree.map(
+            lambda p: p + 0.1 * np.random.RandomState(8).randn(*p.shape).astype(p.dtype),
+            params)
+
+        monkeypatch.setattr(_tc, "_FUSED_GN_ON_CPU", True)
+        monkeypatch.setattr(_tc, "_FUSED_GN", True)
+        out_fused = mod.apply(params, x, emb, alpha)
+        monkeypatch.setattr(_tc, "_FUSED_GN", False)
+        out_plain = mod.apply(params, x, emb, alpha)
+        np.testing.assert_allclose(np.asarray(out_fused),
+                                   np.asarray(out_plain),
+                                   atol=1e-5, rtol=1e-5)

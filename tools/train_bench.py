@@ -42,7 +42,8 @@ def main():
     p.add_argument("--temporal-conv", default="pallas",
                    choices=["pallas", "packed"],
                    help="A/B knob: Pallas 3-tap temporal conv vs the "
-                        "round-2 packed-matmul form")
+                        "round-2 packed-matmul form (packed implies "
+                        "--fused-gn off: the full round-2 conv stack)")
     p.add_argument("--fused-gn", default="on", choices=["on", "off"],
                    help="A/B knob: fused GN+SiLU+conv3 TemporalResBlock "
                         "kernels vs XLA elementwise + plain temporal_conv3")
@@ -55,7 +56,11 @@ def main():
         import vista_tpu.ops.temporal_conv as _tc
 
         if args.temporal_conv == "packed":
+            # packed implies the round-2 conv stack: _PALLAS=False already
+            # reroutes the fused-GN forwards to the XLA compose, so flip the
+            # gate too rather than measure a half-fused hybrid
             _tc._PALLAS = False
+            _tc._FUSED_GN = False
         if args.fused_gn == "off":
             _tc._FUSED_GN = False
     if args.xla_bwd:

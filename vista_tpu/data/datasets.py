@@ -132,52 +132,85 @@ class YouTubeFramesDataset(BaseVideoDataset):
         ]
 
 
-# nuScenes command ids considered rare -> oversampled (subsets/nuscenes.py:8-28)
-_RARE_COMMANDS = (0, 1, 2)
+# nuScenes command ids NOT oversampled — everything else is rare
+# (subsets/nuscenes.py:8-17: `if cmd not in exceptions`, exceptions=[2, 3])
+_COMMAND_EXCEPTIONS = (2, 3)
+
+
+def _goal_valid(anno: Dict) -> bool:
+    """The reference's completeness predicate (subsets/nuscenes.py:20-28,73-79):
+    a usable goal point needs z > 0 and the pixel coordinates strictly inside
+    the 1600x900 camera frame."""
+    goal = anno.get("goal") or (0, 0)
+    return (anno.get("z", 0) > 0
+            and 0 < goal[0] < 1600 and 0 < goal[1] < 900)
+
+
+def balance_with_actions(annos: List[Dict], increase_factor: int = 5,
+                         exceptions: Sequence[int] = _COMMAND_EXCEPTIONS) -> List[Dict]:
+    """Oversample every sample whose command is NOT in ``exceptions`` by
+    ``increase_factor`` (subsets/nuscenes.py:8-17; appended copies keep the
+    reference's ordering: originals first, then the extras)."""
+    extra = [a for a in annos if a.get("cmd") not in exceptions
+             for _ in range(increase_factor - 1)]
+    return annos + extra
+
+
+def resample_complete_samples(annos: List[Dict], increase_factor: int = 2) -> List[Dict]:
+    """Oversample samples with non-empty speed AND angle AND a valid goal
+    point (subsets/nuscenes.py:20-28)."""
+    extra = [a for a in annos
+             if a.get("speed") and a.get("angle") and _goal_valid(a)
+             for _ in range(increase_factor - 1)]
+    return annos + extra
 
 
 class NuScenesDataset(BaseVideoDataset):
     """Action-annotated nuScenes clips with per-sample modality cycling.
 
-    Each __getitem__ emits ONE of four action conditioning sets, cycling with
-    a counter (subsets/nuscenes.py:49-93):
+    Each __getitem__ emits ONE of four action conditioning sets; the modality
+    counter advances by the sample index per call — ``action_mod = (action_mod
+    + index) % 4`` — exactly as the reference (subsets/nuscenes.py:86):
       0: trajectory (8 floats, traj[2:])
       1: command (1)
-      2: speed (4, speed[1:]) + angle (4, angle[1:]/780)
-      3: goal (2, normalized by image size 1600x900)
+      2: speed (4, speed[1:]) if non-empty + angle (4, angle[1:]/780) if non-empty
+      3: goal (2, normalized by 1600x900) ONLY when the point is valid
+         (z > 0, coords inside the frame) — otherwise omitted and the
+         conditioner zero-fills (subsets/nuscenes.py:73-79)
     """
 
-    def __init__(self, cfg: DatasetConfig, balance_with_actions: bool = True,
+    def __init__(self, cfg: DatasetConfig, balance: bool = True,
                  oversample_complete: bool = True):
         super().__init__(cfg)
-        if balance_with_actions and self.annos:
-            extra = [a for a in self.annos
-                     if a.get("cmd") in _RARE_COMMANDS for _ in range(4)]
-            self.annos = self.annos + extra
+        if balance and self.annos:
+            self.annos = balance_with_actions(self.annos, increase_factor=5)
         if oversample_complete and self.annos:
-            complete = [a for a in self.annos
-                        if all(k in a for k in ("traj", "cmd", "speed", "angle", "z"))]
-            self.annos = self.annos + complete
+            self.annos = resample_complete_samples(self.annos, increase_factor=2)
         self._action_mod = 0
 
     def frame_paths(self, anno: Dict) -> List[str]:
         return [os.path.join(self.cfg.data_root, p) for p in anno["frames"]]
 
     def action_dict(self, anno: Dict, index: int) -> Dict[str, np.ndarray]:
+        # stateful index-stride cycling, reference nuscenes.py:86 (the update
+        # happens BEFORE the modality dispatch and uses the updated value)
+        self._action_mod = (self._action_mod + index) % 4
         mod = self._action_mod
-        self._action_mod = (self._action_mod + 1) % 4
         out: Dict[str, np.ndarray] = {}
         if mod == 0 and "traj" in anno:
             out["trajectory"] = np.asarray(anno["traj"][2:10], np.float32)
         elif mod == 1 and "cmd" in anno:
             out["command"] = np.asarray([anno["cmd"]], np.float32)
-        elif mod == 2 and "speed" in anno and "angle" in anno:
-            out["speed"] = np.asarray(anno["speed"][1:5], np.float32)
-            out["angle"] = np.asarray(anno["angle"][1:5], np.float32) / 780.0
-        elif mod == 3 and "z" in anno:
-            goal = np.asarray([anno["goal"][0] / 1600.0, anno["goal"][1] / 900.0], np.float32) \
-                if "goal" in anno else np.zeros(2, np.float32)
-            out["goal"] = goal
+        elif mod == 2:
+            # the two gates are independent; empty lists are omitted
+            # (nuscenes.py:66-72 "scene might be empty")
+            if anno.get("speed"):
+                out["speed"] = np.asarray(anno["speed"][1:5], np.float32)
+            if anno.get("angle"):
+                out["angle"] = np.asarray(anno["angle"][1:5], np.float32) / 780.0
+        elif mod == 3 and _goal_valid(anno):
+            out["goal"] = np.asarray(
+                [anno["goal"][0] / 1600.0, anno["goal"][1] / 900.0], np.float32)
         return out
 
 

@@ -204,7 +204,7 @@ def build_pipeline(
                                           ext=src.ext)
             elif src.kind == "nuscenes":
                 ds = NuScenesDataset(ds_cfg(src),
-                                     balance_with_actions=src.balance_with_actions,
+                                     balance=src.balance_with_actions,
                                      oversample_complete=src.oversample_complete)
             else:
                 raise ValueError(f"unknown data source kind {src.kind!r}")

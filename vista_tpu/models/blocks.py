@@ -224,6 +224,7 @@ class TemporalResBlock(nn.Module):
 
         s = hh * ww
         fused = (_tc._FUSED_GN and self.kernel == (3, 1, 1) and cin == cout
+                 and (jax.default_backend() == "tpu" or _tc._FUSED_GN_ON_CPU)
                  and temporal_conv3_supported(s, cin, cout))
         res_scale = jnp.asarray(1.0, jnp.float32)
         if blend_alpha is not None:

@@ -56,6 +56,10 @@ _PALLAS = True
 # False the block runs the round-3 baseline path — XLA affine/SiLU
 # elementwise + the plain temporal_conv3 kernel (bench.py --fused-gn off)
 _FUSED_GN = True
+# Off-TPU backends route the TemporalResBlock to the XLA compose fallback
+# (interpret-mode Pallas is correct but very slow for CPU tests/CLIs);
+# tests flip this to exercise the fused interpret-mode path explicitly.
+_FUSED_GN_ON_CPU = False
 
 
 def temporal_conv3_supported(s: int, c_in: int, c_out: int) -> bool:
