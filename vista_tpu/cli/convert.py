@@ -13,6 +13,10 @@ Usage:
 
     # merge LoRA inside a torch-layout safetensors
     python -m vista_tpu.cli.convert --input in.safetensors --output out.safetensors --merge-lora
+
+    # DeepSpeed-merged torch pickle -> released-checkpoint layout (the full
+    # reference bin_to_st pipeline: LoRA merge + prefix strip + EMA swap)
+    python -m vista_tpu.cli.convert --input pytorch_model.bin --output vista.safetensors
 """
 
 from __future__ import annotations
@@ -44,10 +48,17 @@ def main(argv=None):
             conditioner=dataclasses.replace(cfg.conditioner, action_control=True),
         )
 
-    if args.input.endswith(".safetensors"):
-        sd = io.load_safetensors(args.input)
-        if args.merge_lora:
-            sd = io.merge_lora_weights(sd, args.lora_scale)
+    if args.input.endswith((".safetensors", ".bin", ".ckpt", ".pt")):
+        if args.input.endswith(".safetensors"):
+            sd = io.load_safetensors(args.input)
+            if args.merge_lora:
+                sd = io.merge_lora_weights(sd, args.lora_scale)
+        else:
+            # training-checkpoint interchange: the reference bin_to_st
+            # pipeline (LoRA merge incl. EMA-mangled names, _forward_module.
+            # strip, model_ema -> online swap) runs unconditionally, exactly
+            # like /root/reference/bin_to_st.py:10-47
+            sd = io.bin_to_state_dict(io.load_torch_bin(args.input))
         if args.output.endswith(".safetensors"):
             io.save_safetensors(args.output, sd)
         else:

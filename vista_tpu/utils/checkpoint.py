@@ -127,6 +127,89 @@ def load_checkpoint(path: str, target=None):
         return ckptr.restore(path)
 
 
+def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch-pickle checkpoint (DeepSpeed-merged ``pytorch_model.bin``)
+    as a flat numpy state_dict (bin_to_st.py:8 ``torch.load(map_location=cpu)``).
+
+    Accepts either a bare state_dict or a wrapper with a ``state_dict`` /
+    ``module`` entry (zero_to_fp32.py emits the bare form)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "module"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    return {k: np.asarray(v.detach().numpy()) for k, v in obj.items()}
+
+
+def bin_to_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """The reference ``bin_to_st.py`` conversion, pass for pass: merge LoRA
+    adapters into base weights, strip the DeepSpeed ``_forward_module.``
+    prefix, then replace online weights with their ``model_ema`` shadows.
+
+    Reproduces the reference exactly (bin_to_st.py:10-47):
+    - LoRA merge BEFORE the prefix strip, on both online and EMA copies; the
+      EMA target for the out projection is the name-mangled ``to_out0``
+      (LitEma strips dots from parameter names, ema.py:26-28) while the
+      online target is ``to_out.0``;
+    - the prefix pass keeps ONLY ``_forward_module.*`` keys (minus the EMA
+      ``decay``/``num_updates`` counters) — the ``del`` is unconditional in
+      the reference. When no key carries the prefix (an already-clean dict)
+      all keys are kept instead, minus the counters;
+    - the EMA pass matches ``model_ema.<mangled>`` to the online key via
+      ``k[10:] == kk[6:].replace('.', '')`` (bin_to_st.py:38-47).
+    """
+    out = dict(sd)
+
+    # pass 1: LoRA merge (bin_to_st.py:10-31)
+    for k in list(out.keys()):
+        if "adapter_down" not in k:
+            continue
+        if "q_adapter_down" in k:
+            up_k = k.replace("q_adapter_down", "q_adapter_up")
+            pretrain_k = k.replace("q_adapter_down", "to_q")
+        elif "k_adapter_down" in k:
+            up_k = k.replace("k_adapter_down", "k_adapter_up")
+            pretrain_k = k.replace("k_adapter_down", "to_k")
+        elif "v_adapter_down" in k:
+            up_k = k.replace("v_adapter_down", "v_adapter_up")
+            pretrain_k = k.replace("v_adapter_down", "to_v")
+        else:
+            up_k = k.replace("out_adapter_down", "out_adapter_up")
+            if "model_ema" in k:
+                pretrain_k = k.replace("out_adapter_down", "to_out0")
+            else:
+                pretrain_k = k.replace("out_adapter_down", "to_out.0")
+        lora = out[up_k] @ out[k]
+        del out[k], out[up_k]
+        out[pretrain_k] = out[pretrain_k] + lora
+
+    # pass 2: prefix strip (bin_to_st.py:33-36; the del is unconditional —
+    # only prefixed keys survive). Clean dicts skip the filter.
+    if any("_forward_module" in k for k in out):
+        out = {k.replace("_forward_module.", ""): v for k, v in out.items()
+               if "_forward_module" in k and "decay" not in k
+               and "num_updates" not in k}
+    else:
+        out = {k: v for k, v in out.items()
+               if not ("model_ema" in k
+                       and ("decay" in k or "num_updates" in k))}
+
+    # pass 3: model_ema -> online swap (bin_to_st.py:38-47). The reference
+    # scans all non-EMA keys for each EMA key; a reverse map of the same
+    # match (last writer wins, like the reference's loop) is O(N).
+    mangled = {kk[6:].replace(".", ""): kk for kk in out
+               if "model_ema" not in kk}
+    for k in list(out.keys()):
+        if "model_ema" not in k:
+            continue
+        orig_k = mangled.get(k[10:])
+        assert orig_k is not None, f"no online match for EMA key {k}"
+        out[orig_k] = out[k]
+        del out[k]
+    return out
+
+
 def merge_lora_weights(state_dict: Dict[str, np.ndarray], scale: float = 1.0) -> Dict[str, np.ndarray]:
     """Fold LoRA adapters into base weights (``W += up @ down * scale``).
 
