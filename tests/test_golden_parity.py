@@ -199,3 +199,115 @@ class TestVAEGoldenParity:
         out = VideoVAEDecoder(cfg).apply(params, jnp.asarray(z.transpose(0, 2, 3, 1)), T)
         np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
                                    atol=5e-4, rtol=2e-3)
+
+
+class TestUNetLoRAActionParity:
+    """Golden parity for the finetuning paths: LoRA adapters on q/k/v/out and
+    action-control K/V adapters (+2432 context dims), vs the reference
+    MemoryEfficientCrossAttention (attention.py:294-353) — the impl the
+    released LoRA-merged, action-controlled Vista weights run through."""
+
+    ACTION_DIM = 128 * 19
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        cfg = tiny_flax_unet_cfg(add_lora=True, action_control=True)
+        torch.manual_seed(4)
+        tmodel = REF.video_model.VideoUNet(
+            in_channels=cfg.in_channels,
+            model_channels=cfg.model_channels,
+            out_channels=cfg.out_channels,
+            num_res_blocks=cfg.num_res_blocks,
+            attention_resolutions=list(cfg.attention_resolutions),
+            channel_mult=list(cfg.channel_mult),
+            num_head_channels=cfg.num_head_channels,
+            transformer_depth=cfg.transformer_depth,
+            context_dim=cfg.context_dim,
+            adm_in_channels=cfg.adm_in_channels,
+            num_classes="sequential",
+            use_linear_in_transformer=True,
+            extra_ff_mix_layer=True,
+            use_spatial_context=True,
+            merge_strategy="learned_with_images",
+            spatial_transformer_attn_type="softmax-xformers",
+            video_kernel_size=list(cfg.video_kernel),
+            add_lora=cfg.add_lora,
+            action_control=True,
+        ).eval()
+        # randomize every zero-init tensor (LoRA ups, action adapters, zero
+        # heads) so the adapter paths actually contribute to the output
+        with torch.no_grad():
+            for n, p in tmodel.named_parameters():
+                if p.abs().sum() == 0:
+                    p.add_(torch.randn_like(p) * 0.02)
+        params = {"params": to_flax_unet_params(tmodel, cfg)}
+        return cfg, tmodel, VideoUNet(cfg), params
+
+    def _inputs(self, cfg, seed=0):
+        rng = np.random.RandomState(seed)
+        x = rng.randn(T, cfg.in_channels, HL, WL).astype(np.float32)
+        tt = rng.rand(T).astype(np.float32) * 2 - 1
+        context = rng.randn(1, 1, cfg.context_dim + self.ACTION_DIM).astype(np.float32)
+        y = rng.randn(1, cfg.adm_in_channels).astype(np.float32)
+        cond_mask = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+        return x, tt, context, y, cond_mask
+
+    def test_forward_matches(self, pair):
+        cfg, tmodel, fmodel, params = pair
+        x, tt, context, y, cond_mask = self._inputs(cfg)
+        with torch.no_grad():
+            ref = tmodel(
+                torch.from_numpy(x), torch.from_numpy(tt),
+                context=torch.from_numpy(context), y=torch.from_numpy(y),
+                cond_mask=torch.from_numpy(cond_mask), num_frames=T,
+            ).numpy()
+        out = fmodel.apply(
+            params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(tt),
+            jnp.asarray(context), jnp.asarray(y), jnp.asarray(cond_mask), T,
+        )
+        out = np.asarray(out).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-3)
+
+    def test_action_dims_change_output(self, pair):
+        """The action slice of the context must flow through the K/V
+        adapters: zeroing it changes the output (adapters were randomized)."""
+        cfg, tmodel, fmodel, params = pair
+        x, tt, context, y, cond_mask = self._inputs(cfg)
+        out = fmodel.apply(
+            params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(tt),
+            jnp.asarray(context), jnp.asarray(y), jnp.asarray(cond_mask), T)
+        ctx0 = context.copy()
+        ctx0[..., cfg.context_dim:] = 0.0
+        out0 = fmodel.apply(
+            params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(tt),
+            jnp.asarray(ctx0), jnp.asarray(y), jnp.asarray(cond_mask), T)
+        assert not np.allclose(np.asarray(out), np.asarray(out0), atol=1e-5)
+
+    def test_lora_merge_roundtrip(self, pair):
+        """merge_lora_weights folds the adapters into base weights: the
+        merged no-LoRA flax model must equal the torch model running its
+        adapters live (W x + up(down(x)) == (W + up@down) x)."""
+        from vista_tpu.utils.checkpoint import merge_lora_weights
+
+        cfg, tmodel, fmodel, params = pair
+        sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+        merged = merge_lora_weights(sd)
+        assert not any("adapter_down" in k or "adapter_up" in k for k in merged)
+        import dataclasses as _dc
+
+        cfg_nl = _dc.replace(cfg, add_lora=False)
+        params_nl = {"params": ti.apply_key_map(
+            merged, ti.unet_key_map(cfg_nl), "", strict=True)}
+        x, tt, context, y, cond_mask = self._inputs(cfg, seed=5)
+        with torch.no_grad():
+            ref = tmodel(
+                torch.from_numpy(x), torch.from_numpy(tt),
+                context=torch.from_numpy(context), y=torch.from_numpy(y),
+                cond_mask=torch.from_numpy(cond_mask), num_frames=T,
+            ).numpy()
+        out = VideoUNet(cfg_nl).apply(
+            params_nl, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(tt),
+            jnp.asarray(context), jnp.asarray(y), jnp.asarray(cond_mask), T,
+        )
+        out = np.asarray(out).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-3)

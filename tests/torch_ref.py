@@ -39,6 +39,24 @@ def load_reference():
     _stub("kornia.enhance")
     _stub("open_clip", create_model_and_transforms=None)
 
+    # xformers stub: lets the reference's `softmax-xformers` mode run —
+    # MemoryEfficientCrossAttention is the only impl carrying the LoRA and
+    # action-control adapters (attention.py:294-353), so the finetuning-path
+    # golden tests need it. memory_efficient_attention on (b*h, s, d) inputs
+    # is numerically torch SDPA with default scale.
+    import torch.nn.functional as F
+
+    def _mea(q, k, v, attn_bias=None, op=None):
+        assert attn_bias is None, "stub supports the non-causal path only"
+        return F.scaled_dot_product_attention(q, k, v)
+
+    import importlib.machinery
+
+    xf = _stub("xformers")
+    xf.__spec__ = importlib.machinery.ModuleSpec("xformers", None)
+    xf.ops = _stub("xformers.ops", memory_efficient_attention=_mea,
+                   LowerTriangularMask=object)
+
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
 
