@@ -50,6 +50,17 @@ def main():
     force_platform(args.platform)
 
     import jax
+
+    # same persistent compile cache as bench.py: the realistic-scale run
+    # (320x576/25f, VERDICT r3 item 6) shares sampling-program compiles with
+    # bench.py config #1 and with its own reruns across rounds.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         os.path.expanduser("~/.cache/vista_tpu_xla")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from vista_tpu.diffusion import GuiderConfig, SamplerConfig

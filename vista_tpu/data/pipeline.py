@@ -163,6 +163,10 @@ class SourceConfig:
 @dataclasses.dataclass(frozen=True)
 class DataConfig:
     sources: Tuple[SourceConfig, ...] = ()
+    # held-out sources for the runner's periodic validation; empty = reuse
+    # ``sources`` with a decorrelated sampling seed (the reference builds
+    # val from the same dataset config, vwm/data/dataset.py:61-102)
+    val_sources: Tuple[SourceConfig, ...] = ()
     batch_size: int = 1
     num_threads: int = 8
     prefetch: int = 2

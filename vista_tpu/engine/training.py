@@ -194,3 +194,41 @@ def make_train_step(engine: VistaEngine, cfg: TrainConfig, tx: optax.GradientTra
         )
 
     return step_fn
+
+
+def make_eval_step(engine: VistaEngine, cfg: TrainConfig):
+    """Loss-only counterpart of ``make_train_step`` for held-out evaluation —
+    the reference's ``trainer.test`` path (train.py:897-898,
+    vwm/models/diffusion.py:227-230: test_step = the training loss on val
+    batches, no optimizer step).
+
+    ``(unet_params, frozen, batch, key) -> (loss, aux)``. The caller picks
+    the weights: pass ``state.ema_params`` for the EMA metric ("did my
+    finetune regress") or ``state.unet_params`` for the online loss. No ucg
+    dropout is applied (deterministic given the key); sigma sampling and the
+    cond-frame mask choice still come from ``key`` — fix it per batch index
+    for a comparable metric across evals."""
+    num_frames = engine.cfg.num_frames
+
+    def eval_fn(unet_params: Dict, frozen: Dict, batch: Dict[str, Array], key: jax.Array):
+        k_enc, k_aug, k_loss = jax.random.split(key, 3)
+
+        frames = batch["frames"]
+        b, t = frames.shape[0], frames.shape[1]
+        flat = frames.reshape(b * t, *frames.shape[2:])
+
+        full = {**frozen, "unet": unet_params}
+        latents = engine.encode_first_stage(full, flat, key=k_enc)
+
+        cond_batch = {k: v for k, v in batch.items() if k != "frames"}
+        first_frames = frames[:, 0]
+        cond_batch["cond_frames_without_noise"] = first_frames
+        cond_aug = batch["cond_aug"]
+        cond_batch["cond_frames"] = first_frames + cond_aug[:, None, None, None] * (
+            jax.random.normal(k_aug, first_frames.shape, dtype=first_frames.dtype))
+        cond = engine.conditions(full, cond_batch, ucg_key=None)
+
+        denoise = engine.denoise_fn(full, num_frames)
+        return diffusion_loss(denoise, latents, cond, k_loss, cfg.loss)
+
+    return eval_fn

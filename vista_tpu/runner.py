@@ -61,6 +61,12 @@ class RunConfig:
     image_log_cfg_min: float = 1.5
     scale_lr: bool = False
     seed: int = 0
+    # held-out evaluation (the reference's trainer.test counterpart,
+    # train.py:897-898 — off by default there too): every N steps compute
+    # the training loss on val batches with the EMA params, no ucg dropout,
+    # fixed per-batch keys (comparable across evals). 0 disables.
+    val_every: int = 0
+    val_batches: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,8 +139,37 @@ class Trainer:
                                donate_argnums=(0,))
         self._batch_sharding = batch_sharding(self.mesh)
 
+        # held-out evaluation: a val pipeline (val_sources, falling back to
+        # the train sources with a decorrelated seed — the reference's
+        # Sampler datamodule builds val from the same dataset config,
+        # vwm/data/dataset.py:86-93) and a loss-only jitted step
+        self.val_pipeline = None
+        self._eval_fn = None
+        self._val_batches = None
+        if run.val_every > 0:
+            from vista_tpu.data.pipeline import build_pipeline
+            from vista_tpu.engine.training import make_eval_step
+
+            dcfg = cfg.data
+            val_sources = dcfg.val_sources or dcfg.sources
+            # val batches go through the same data-axis sharding as train
+            # batches (_put_batch), so the val global batch must be divisible
+            # by the data degree too: reuse the train pipeline's (already
+            # validated) batch size, else round the config's up.
+            val_bs = (pipeline.cfg.batch_size if pipeline is not None
+                      else -(-dcfg.batch_size // n_data) * n_data)
+            val_cfg = dataclasses.replace(
+                dcfg, sources=val_sources, seed=dcfg.seed + 1,
+                batch_size=val_bs,
+                samples_per_epoch=max(run.val_batches * val_bs, 1))
+            self.val_pipeline = build_pipeline(
+                val_cfg, cfg.height, cfg.width, cfg.engine.num_frames,
+                process_index=jax.process_index())
+            self._eval_fn = jax.jit(make_eval_step(self.engine, tcfg))
+
         self._metrics_path = os.path.join(run.logdir, "metrics.csv")
         self._csv_initialized = os.path.exists(self._metrics_path)
+        self._csv_fields = None
 
     # ---- signals: SIGUSR1 checkpoints and continues; SIGTERM checkpoints & stops
     def install_signal_handlers(self):
@@ -149,14 +184,54 @@ class Trainer:
         signal.signal(signal.SIGTERM, on_term)
 
     def _log_metrics(self, step: int, metrics: Dict):
+        """Append a row to metrics.csv with a union-of-keys schema: train and
+        val rows carry different metric sets (like Lightning's CSVLogger);
+        when a new key first appears the small file is rewritten with the
+        expanded header so every row stays column-aligned."""
         row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
-        write_header = not self._csv_initialized
+        if self._csv_fields is None and self._csv_initialized:
+            with open(self._metrics_path, newline="") as f:
+                self._csv_fields = next(csv.reader(f), None)
+        if self._csv_fields is None:
+            self._csv_fields = list(row)
+            self._csv_initialized = False
+        new_keys = [k for k in row if k not in self._csv_fields]
+        if new_keys:
+            self._csv_fields = self._csv_fields + new_keys
+            if self._csv_initialized:
+                with open(self._metrics_path, newline="") as f:
+                    old = list(csv.DictReader(f))
+                with open(self._metrics_path, "w", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=self._csv_fields, restval="")
+                    w.writeheader()
+                    w.writerows(old)
         with open(self._metrics_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(row))
-            if write_header:
+            w = csv.DictWriter(f, fieldnames=self._csv_fields, restval="")
+            if not self._csv_initialized:
                 w.writeheader()
                 self._csv_initialized = True
             w.writerow(row)
+
+    def validate(self) -> Dict[str, float]:
+        """Average the training loss over a FIXED held-out set with the EMA
+        params (no ucg dropout; fixed per-batch keys). The val batches are
+        drawn once from the val pipeline and cached so the metric is a true
+        regression detector — only the weights change between evals."""
+        run = self.cfg.run
+        if self._val_batches is None:
+            it = iter(self.val_pipeline)
+            self._val_batches = [next(it) for _ in range(run.val_batches)]
+            self.val_pipeline.stop()
+        totals: Dict[str, float] = {}
+        for i, batch in enumerate(self._val_batches):
+            key = jax.random.fold_in(jax.random.key(run.seed + 17), i)
+            loss, aux = self._eval_fn(self.state.ema_params, self.frozen,
+                                      self._put_batch(batch), key)
+            vals = {"val_loss": float(loss),
+                    **{f"val_{k}": float(v) for k, v in aux.items()}}
+            for k, v in vals.items():
+                totals[k] = totals.get(k, 0.0) + v / run.val_batches
+        return totals
 
     def save_checkpoint(self, tag: Optional[str] = None):
         step = int(self.state.step)
@@ -252,6 +327,12 @@ class Trainer:
                     self._log_metrics(step, metrics)
                     print(f"step {step}: loss={metrics['loss']:.4f} "
                           f"({metrics['steps_per_sec']:.2f} it/s)", flush=True)
+            if run.val_every > 0 and step % run.val_every == 0:
+                val_metrics = self.validate()
+                if jax.process_index() == 0:
+                    self._log_metrics(step, val_metrics)
+                    print(f"step {step}: val_loss={val_metrics['val_loss']:.4f}",
+                          flush=True)
             if jax.process_index() == 0 and _is_log_step(step, run.image_log_every):
                 try:
                     self.log_images(batch)
