@@ -22,6 +22,11 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None, help="safetensors init weights (vista/svd_xt)")
     p.add_argument("--synthetic-data", action="store_true",
                    help="use the synthetic dataset (smoke runs)")
+    p.add_argument("--debug", action="store_true",
+                   help="drop into pdb post-mortem on rank 0 if training "
+                        "crashes (reference train.py:917-923; SIGUSR2 "
+                        "additionally opens a live pdb at the next step "
+                        "boundary)")
     p.add_argument("overrides", nargs="*", help="a.b.c=value dotlist overrides")
     from vista_tpu.cli._common import add_platform_arg, force_platform
 
@@ -58,11 +63,23 @@ def main(argv=None):
         init_params = import_vista_checkpoint(load_safetensors(args.ckpt), cfg.engine,
                                               strict=False)
 
-    trainer = Trainer(cfg, pipeline, init_params=init_params)
-    if args.resume:
-        trainer.resume(args.resume)
-        print(f"resumed from {args.resume} at step {int(trainer.state.step)}")
-    state = trainer.fit()
+    try:
+        trainer = Trainer(cfg, pipeline, init_params=init_params)
+        if args.resume:
+            trainer.resume(args.resume)
+            print(f"resumed from {args.resume} at step {int(trainer.state.step)}")
+        state = trainer.fit()
+    except Exception:
+        # the reference's --debug post-mortem (train.py:917-923): rank 0
+        # opens pdb at the crash frame, then the exception propagates so the
+        # launcher still sees a non-zero exit
+        if args.debug and jax.process_index() == 0:
+            import pdb
+            import traceback
+
+            traceback.print_exc()
+            pdb.post_mortem()
+        raise
     print(f"done at step {int(state.step)}")
 
 

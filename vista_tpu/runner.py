@@ -171,7 +171,11 @@ class Trainer:
         self._csv_initialized = os.path.exists(self._metrics_path)
         self._csv_fields = None
 
-    # ---- signals: SIGUSR1 checkpoints and continues; SIGTERM checkpoints & stops
+    # ---- signals: SIGUSR1 checkpoints and continues; SIGTERM checkpoints &
+    # stops; SIGUSR2 drops rank 0 into a live pdb at the top of the next step
+    # (the reference's `divein` handler, train.py:883-892 — pudb there, pdb
+    # here; deferred to a step boundary because opening the debugger inside
+    # an async dispatch would strand device work)
     def install_signal_handlers(self):
         def on_usr1(signum, frame):
             self._ckpt_requested = True
@@ -180,8 +184,21 @@ class Trainer:
             self._ckpt_requested = True
             self._stop = True
 
+        def on_usr2(signum, frame):
+            self._debug_requested = True
+
         signal.signal(signal.SIGUSR1, on_usr1)
         signal.signal(signal.SIGTERM, on_term)
+        signal.signal(signal.SIGUSR2, on_usr2)
+
+    def _maybe_divein(self):
+        if getattr(self, "_debug_requested", False):
+            self._debug_requested = False
+            if jax.process_index() == 0:
+                import pdb
+
+                print("SIGUSR2: entering pdb (c to continue training)", flush=True)
+                pdb.Pdb().set_trace()
 
     def _log_metrics(self, step: int, metrics: Dict):
         """Append a row to metrics.csv with a union-of-keys schema: train and
@@ -313,6 +330,7 @@ class Trainer:
         it = iter(self.pipeline)
         t_last = time.perf_counter()
         while int(self.state.step) < run.max_steps and not self._stop:
+            self._maybe_divein()
             batch = next(it)
             device_batch = self._put_batch(batch)
             key = jax.random.fold_in(jax.random.key(run.seed), int(self.state.step))
