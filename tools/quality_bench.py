@@ -133,10 +133,14 @@ def main():
     # per-frame CLIP features through the engine's own frozen tower
     tower = CLIPVisionTower(cfg.conditioner.clip)
     tower_params = {"params": params["conditioner"]["clip_tower"]}
-    feat_fn = jax.jit(lambda x: tower.apply(
-        tower_params, clip_preprocess(x, cfg.conditioner.clip.image_size)))
-    real_feats = np.concatenate([np.asarray(feat_fn(jnp.asarray(c))) for c in clips])
-    gen_feats = np.concatenate([np.asarray(feat_fn(jnp.asarray(c))) for c in gen_clips])
+    # params as a jit ARGUMENT: closing over them bakes the ~2.5 GB fp32
+    # ViT-H weights into the executable as constants (CLAUDE.md gotcha)
+    feat_fn = jax.jit(lambda p, x: tower.apply(
+        p, clip_preprocess(x, cfg.conditioner.clip.image_size)))
+    real_feats = np.concatenate(
+        [np.asarray(feat_fn(tower_params, jnp.asarray(c))) for c in clips])
+    gen_feats = np.concatenate(
+        [np.asarray(feat_fn(tower_params, jnp.asarray(c))) for c in gen_clips])
 
     fcd = frechet_feature_distance(real_feats, gen_feats)
     psnrs = [psnr(g, r) for g, r in zip(gen_clips, clips)]
