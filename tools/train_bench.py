@@ -31,6 +31,12 @@ def main():
     p.add_argument("--frames", type=int, default=25)
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--remat", default="on", choices=["on", "off"],
+                   help="A/B knob: block-level activation checkpointing. "
+                        "'off' stores all block intermediates instead of "
+                        "recomputing them in backward — trades HBM for the "
+                        "~fwd-cost recompute (only viable where activations "
+                        "fit; 16 GB holds 320x576/25f, NOT 576x1024)")
     p.add_argument("--xla-bwd", action="store_true",
                    help="A/B knob: route every fused kernel's backward "
                         "through its XLA-recompute fallback instead of the "
@@ -82,7 +88,7 @@ def main():
     from vista_tpu.diffusion.denoiser import precondition_denoise
     from vista_tpu.models.unet import VideoUNet, VideoUNetConfig
 
-    ucfg = VideoUNetConfig(attn_backend=args.attn, remat=True)
+    ucfg = VideoUNetConfig(attn_backend=args.attn, remat=args.remat == "on")
     unet = VideoUNet(ucfg)
     t = args.frames
     hl, wl = args.height // 8, args.width // 8
@@ -159,7 +165,8 @@ def main():
     dt = sorted(times)[len(times) // 2]
     print(json.dumps({
         "metric": f"train fwd+bwd steps/sec ({args.height}x{args.width}, "
-                  f"{t}f, full loss, bf16+remat)",
+                  f"{t}f, full loss, bf16"
+                  f"{'+remat' if args.remat == 'on' else ', no remat'})",
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec",
         "sec_per_step": round(dt, 3),
