@@ -66,21 +66,38 @@ class TestVideoUNet:
         np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_c), atol=1e-5)
 
     def test_remat_matches_plain(self, tiny_setup):
-        """remat=True must be numerically identical (just recompute on bwd)."""
+        """remat=True must be numerically identical (just recompute on bwd).
+
+        Also covers selective checkpointing (remat_max_ds): the tiny config
+        runs blocks at ds 1 and 2, so remat_max_ds=1 exercises the mixed
+        remat/stored path — same outputs, same param tree (checkpoint
+        compatibility across remat modes).
+        """
         import dataclasses
         cfg, model, params, (x, t, context, y, cond_mask) = tiny_setup
-        cfg_r = dataclasses.replace(cfg, remat=True)
-        model_r = VideoUNet(cfg_r)
         params_p = jax.tree.map(lambda p: p + 0.01, params)
         out_plain = model.apply(params_p, x, t, context, y, cond_mask, cfg.num_frames)
-        out_remat = model_r.apply(params_p, x, t, context, y, cond_mask, cfg.num_frames)
-        np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_remat), atol=1e-5)
 
-        def loss(p):
-            return jnp.sum(model_r.apply(p, x, t, context, y, cond_mask, cfg.num_frames) ** 2)
+        for kw in ({"remat": True}, {"remat": True, "remat_max_ds": 1}):
+            cfg_r = dataclasses.replace(cfg, **kw)
+            model_r = VideoUNet(cfg_r)
+            # param tree layout must be identical across remat modes
+            init_r = model_r.init(jax.random.key(0), x, t, context, y,
+                                  cond_mask, cfg.num_frames)
+            assert (jax.tree_util.tree_structure(init_r)
+                    == jax.tree_util.tree_structure(params))
+            out_remat = model_r.apply(params_p, x, t, context, y, cond_mask,
+                                      cfg.num_frames)
+            np.testing.assert_allclose(np.asarray(out_plain),
+                                       np.asarray(out_remat), atol=1e-5)
 
-        g = jax.grad(loss)(params_p)
-        assert np.isfinite(max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g)))
+            def loss(p):
+                return jnp.sum(model_r.apply(
+                    p, x, t, context, y, cond_mask, cfg.num_frames) ** 2)
+
+            g = jax.grad(loss)(params_p)
+            assert np.isfinite(max(float(jnp.abs(l).max())
+                                   for l in jax.tree.leaves(g)))
 
     def test_action_control_context(self):
         """With action_control, context carries 2432 extra dims routed to K/V adapters."""

@@ -31,12 +31,15 @@ def main():
     p.add_argument("--frames", type=int, default=25)
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--remat", default="on", choices=["on", "off"],
+    p.add_argument("--remat", default="on", choices=["on", "off", "ds1", "ds2"],
                    help="A/B knob: block-level activation checkpointing. "
                         "'off' stores all block intermediates instead of "
                         "recomputing them in backward — trades HBM for the "
                         "~fwd-cost recompute (only viable where activations "
-                        "fit; 16 GB holds 320x576/25f, NOT 576x1024)")
+                        "fit; 16 GB holds 320x576/25f, NOT 576x1024 — "
+                        "measured OOM). 'ds1'/'ds2' remat only blocks at "
+                        "downsample factor <= 1/2 and store the deeper "
+                        "(small-activation) blocks (remat_max_ds)")
     p.add_argument("--xla-bwd", action="store_true",
                    help="A/B knob: route every fused kernel's backward "
                         "through its XLA-recompute fallback instead of the "
@@ -88,7 +91,9 @@ def main():
     from vista_tpu.diffusion.denoiser import precondition_denoise
     from vista_tpu.models.unet import VideoUNet, VideoUNetConfig
 
-    ucfg = VideoUNetConfig(attn_backend=args.attn, remat=args.remat == "on")
+    remat_max_ds = {"ds1": 1, "ds2": 2}.get(args.remat)
+    ucfg = VideoUNetConfig(attn_backend=args.attn, remat=args.remat != "off",
+                           remat_max_ds=remat_max_ds)
     unet = VideoUNet(ucfg)
     t = args.frames
     hl, wl = args.height // 8, args.width // 8
@@ -166,7 +171,8 @@ def main():
     print(json.dumps({
         "metric": f"train fwd+bwd steps/sec ({args.height}x{args.width}, "
                   f"{t}f, full loss, bf16"
-                  f"{'+remat' if args.remat == 'on' else ', no remat'})",
+                  + {"on": "+remat", "off": ", no remat"}.get(
+                      args.remat, f", remat<= {args.remat}") + ")",
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec",
         "sec_per_step": round(dt, 3),

@@ -59,6 +59,14 @@ class VideoUNetConfig:
     attn_backend: str = "xla"
     dtype: str = "bfloat16"
     remat: bool = False  # jax.checkpoint each top-level block (training)
+    # Selective checkpointing: when set, only blocks running at
+    # downsample factor ds <= remat_max_ds are rematted; deeper blocks
+    # (smaller activations) store their intermediates instead of
+    # recomputing them in backward. None = remat every block. E.g.
+    # remat_max_ds=2 stores the ds4/ds8 blocks (~1/3 of the per-block
+    # activation footprint of a ds1 block) and skips ~37% of the
+    # backward recompute. No effect unless remat=True.
+    remat_max_ds: Optional[int] = None
 
     @property
     def compute_dtype(self):
@@ -126,14 +134,21 @@ class VideoUNet(nn.Module):
 
         # activation checkpointing (reference use_checkpoint on ResBlocks and
         # transformer blocks, openaimodel.py:253-256 / attention.py:507-510):
-        # remat each top-level block so backward recomputes instead of storing
-        res_cls = VideoResBlock
-        attn_cls = SpatialVideoTransformer
-        if cfg.remat:
-            res_cls = nn.remat(VideoResBlock, static_argnums=(3,))
-            attn_cls = nn.remat(SpatialVideoTransformer, static_argnums=(3,))
+        # remat each top-level block so backward recomputes instead of storing.
+        # remat_max_ds gates it by downsample factor: blocks deeper than the
+        # threshold store their intermediates (small activations, recompute
+        # not worth it).
+        remat_res_cls = nn.remat(VideoResBlock, static_argnums=(3,))
+        remat_attn_cls = nn.remat(SpatialVideoTransformer, static_argnums=(3,))
 
-        def attn(ch, name):
+        def block_classes(ds):
+            use = cfg.remat and (cfg.remat_max_ds is None
+                                 or ds <= cfg.remat_max_ds)
+            if use:
+                return remat_res_cls, remat_attn_cls
+            return VideoResBlock, SpatialVideoTransformer
+
+        def attn(ch, name, attn_cls):
             heads = ch // cfg.num_head_channels
             ctx_dim = cfg.context_dim
             return attn_cls(
@@ -153,11 +168,12 @@ class VideoUNet(nn.Module):
         for level, mult in enumerate(cfg.channel_mult):
             for i in range(cfg.num_res_blocks):
                 ch = mult * ch0
+                res_cls, attn_cls = block_classes(ds)
                 h = res_cls(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
                                   cfg.merge_strategy, dtype=dtype,
                                   name=f"down_{level}_{i}_res")(h, emb, nf)
                 if ds in cfg.attention_resolutions:
-                    h = attn(ch, f"down_{level}_{i}_attn")(h, context, nf)
+                    h = attn(ch, f"down_{level}_{i}_attn", attn_cls)(h, context, nf)
                 hs.append(h)
                 skip_chs.append(ch)
             if level != len(cfg.channel_mult) - 1:
@@ -166,10 +182,11 @@ class VideoUNet(nn.Module):
                 hs.append(h)
                 skip_chs.append(ch)
 
-        # --- middle ---
+        # --- middle (runs at the deepest ds) ---
+        res_cls, attn_cls = block_classes(ds)
         h = res_cls(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
                           cfg.merge_strategy, dtype=dtype, name="mid_res1")(h, emb, nf)
-        h = attn(ch, "mid_attn")(h, context, nf)
+        h = attn(ch, "mid_attn", attn_cls)(h, context, nf)
         h = res_cls(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
                           cfg.merge_strategy, dtype=dtype, name="mid_res2")(h, emb, nf)
 
@@ -180,11 +197,12 @@ class VideoUNet(nn.Module):
                 skip_chs.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = mult * ch0
+                res_cls, attn_cls = block_classes(ds)
                 h = res_cls(ch, emb_ch, cfg.video_kernel, cfg.merge_factor,
                                   cfg.merge_strategy, dtype=dtype,
                                   name=f"up_{level}_{i}_res")(h, emb, nf)
                 if ds in cfg.attention_resolutions:
-                    h = attn(ch, f"up_{level}_{i}_attn")(h, context, nf)
+                    h = attn(ch, f"up_{level}_{i}_attn", attn_cls)(h, context, nf)
                 if level != 0 and i == cfg.num_res_blocks:
                     h = Upsample(ch, dtype=dtype, name=f"up_{level}_upsample")(h)
                     ds //= 2
