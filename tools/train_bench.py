@@ -31,14 +31,15 @@ def main():
     p.add_argument("--frames", type=int, default=25)
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--iters", type=int, default=3)
-    p.add_argument("--remat", default="on", choices=["on", "off", "ds1", "ds2"],
+    p.add_argument("--remat", default="on",
+                   choices=["on", "off", "ds1", "ds2", "ds4"],
                    help="A/B knob: block-level activation checkpointing. "
                         "'off' stores all block intermediates instead of "
                         "recomputing them in backward — trades HBM for the "
                         "~fwd-cost recompute (only viable where activations "
                         "fit; 16 GB holds 320x576/25f, NOT 576x1024 — "
-                        "measured OOM). 'ds1'/'ds2' remat only blocks at "
-                        "downsample factor <= 1/2 and store the deeper "
+                        "measured OOM). 'dsN' remats only blocks at "
+                        "downsample factor <= N and stores the deeper "
                         "(small-activation) blocks (remat_max_ds)")
     p.add_argument("--xla-bwd", action="store_true",
                    help="A/B knob: route every fused kernel's backward "
@@ -91,7 +92,7 @@ def main():
     from vista_tpu.diffusion.denoiser import precondition_denoise
     from vista_tpu.models.unet import VideoUNet, VideoUNetConfig
 
-    remat_max_ds = {"ds1": 1, "ds2": 2}.get(args.remat)
+    remat_max_ds = {"ds1": 1, "ds2": 2, "ds4": 4}.get(args.remat)
     ucfg = VideoUNetConfig(attn_backend=args.attn, remat=args.remat != "off",
                            remat_max_ds=remat_max_ds)
     unet = VideoUNet(ucfg)
