@@ -24,6 +24,10 @@ def main():
     p.add_argument("--height", type=int, default=576)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--frames", type=int, default=25)
+    p.add_argument("--decode-chunk", type=int, default=None,
+                   help="override EngineConfig.decode_chunk (window sweep)")
+    p.add_argument("--no-trace", action="store_true",
+                   help="skip the xplane capture (timing-only sweep)")
     p.add_argument("--logdir", default="/tmp/vista_decode_prof")
     args = p.parse_args()
 
@@ -33,6 +37,9 @@ def main():
     from vista_tpu.engine.engine import EngineConfig, VistaEngine
 
     cfg = EngineConfig()
+    if args.decode_chunk is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, decode_chunk=args.decode_chunk)
     engine = VistaEngine(cfg)
     f = cfg.vae.downsample_factor
     hl, wl = args.height // f, args.width // f
@@ -60,6 +67,8 @@ def main():
     dt = time.time() - t0
     print(f"decode {args.frames} frames: {dt:.3f}s = {args.frames/dt:.2f} f/s", flush=True)
 
+    if args.no_trace:
+        return
     os.system(f"rm -rf {args.logdir}")
     jax.profiler.start_trace(args.logdir)
     jax.block_until_ready(fn(params, z + 2.0))
