@@ -6,6 +6,8 @@ the latents match the unsharded program. Counterpart of SURVEY.md §2.8 /
 §5.7 (the reference has no multi-GPU inference path at all).
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -123,6 +125,89 @@ class TestShardedSampling:
         f1 = engine.jit_sample_sharded(sampler, mesh)
         f2 = engine.jit_sample_sharded(sampler, mesh)
         assert f1 is f2
+
+
+@pytest.fixture(scope="module")
+def pallas_engine_and_params():
+    """Tiny engine with the Pallas kernel stack FORCED on (interpret mode on
+    CPU) and the fused GN+conv3 path enabled, so the sharded program
+    exercises the shard_map kernel islands end-to-end."""
+    import vista_tpu.ops.temporal_conv as tc
+
+    prev = tc._FUSED_GN_ON_CPU
+    tc._FUSED_GN_ON_CPU = True
+    cfg = EngineConfig().tiny()
+    cfg = dataclasses.replace(
+        cfg, unet=dataclasses.replace(cfg.unet, attn_backend="pallas"))
+    engine = VistaEngine(cfg)
+    params = engine.init_params(jax.random.key(0), 64, 64)
+    yield engine, params
+    tc._FUSED_GN_ON_CPU = prev
+
+
+class TestShardedSamplingPallas:
+    """The round-4 verdict's top item: multi-chip programs must keep the
+    Pallas kernel stack (shard_map islands), not fall back to XLA attention.
+    Exactness is pinned against the single-device Pallas program."""
+
+    def test_pallas_frames_matches_single_device(self, mesh, pallas_engine_and_params):
+        from vista_tpu.parallel.kernel_sharding import island_counter
+
+        engine, params = pallas_engine_and_params
+        sampler = SamplerConfig(
+            num_steps=2, guider=GuiderConfig(kind="triangle", scale=2.0,
+                                             num_frames=engine.cfg.num_frames))
+        noise, cond, uc, cf, cm = _sampling_inputs(engine, seed=5)
+
+        ref = engine.jit_sample(sampler)(params, noise, cond, uc, cf, cm)
+        before = island_counter[0]
+        out = engine.jit_sample_sharded(sampler, mesh)(params, noise, cond, uc, cf, cm)
+        assert island_counter[0] > before, (
+            "no shard_map kernel islands were created — the sharded trace "
+            "fell back to GSPMD-replicated kernels")
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_pallas_train_step_matches_single_device(self, mesh, pallas_engine_and_params):
+        """Sharded training step (kernel islands active) == single-device:
+        loss AND the updated parameter pytree."""
+        from vista_tpu.diffusion.loss import LossConfig
+        from vista_tpu.engine.training import TrainConfig, create_train_state, make_train_step
+        from vista_tpu.parallel import batch_sharding, kernel_sharding
+
+        engine, params = pallas_engine_and_params
+        t = engine.cfg.num_frames
+        tcfg = TrainConfig(learning_rate=1e-4, loss=LossConfig(num_frames=t))
+        state, tx = create_train_state(tcfg, params)
+        step = make_train_step(engine, tcfg, tx)
+        frozen = {k: v for k, v in params.items() if k != "unet"}
+
+        n = mesh.shape["data"]
+        rng = np.random.RandomState(11)
+        batch = {
+            "frames": jnp.asarray(rng.randn(n, t, 64, 64, 3) * 0.3, jnp.float32),
+            "fps_id": jnp.full((n,), 9.0),
+            "motion_bucket_id": jnp.full((n,), 127.0),
+            "cond_aug": jnp.zeros((n,)),
+        }
+        key = jax.random.key(3)
+
+        ref_state, ref_metrics = jax.jit(step)(state, frozen, batch, key)
+
+        sh_batch = jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+        with kernel_sharding(mesh, ("data",)):
+            got_state, got_metrics = jax.jit(step)(state, frozen, sh_batch, key)
+
+        np.testing.assert_allclose(float(got_metrics["loss"]),
+                                   float(ref_metrics["loss"]), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(ref_state.unet_params),
+                        jax.tree.leaves(got_state.unet_params)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=1e-5, rtol=1e-5)
 
 
 class TestShardedRollout:

@@ -32,7 +32,7 @@ def main():
     p.add_argument("--attn", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--remat", default="on",
-                   choices=["on", "off", "ds1", "ds2", "ds4"],
+                   choices=["on", "off", "ds1", "ds2", "ds4", "names", "dots"],
                    help="A/B knob: block-level activation checkpointing. "
                         "'off' stores all block intermediates instead of "
                         "recomputing them in backward — trades HBM for the "
@@ -40,7 +40,11 @@ def main():
                         "fit; 16 GB holds 320x576/25f, NOT 576x1024 — "
                         "measured OOM). 'dsN' remats only blocks at "
                         "downsample factor <= N and stores the deeper "
-                        "(small-activation) blocks (remat_max_ds)")
+                        "(small-activation) blocks (remat_max_ds). "
+                        "'names'/'dots' keep every block rematted but SAVE "
+                        "the attention/FF outputs (save_only_these_names / "
+                        "dots_with_no_batch_dims_saveable policies) — the "
+                        "middle ground between 'on' and 'off'")
     p.add_argument("--xla-bwd", action="store_true",
                    help="A/B knob: route every fused kernel's backward "
                         "through its XLA-recompute fallback instead of the "
@@ -93,8 +97,9 @@ def main():
     from vista_tpu.models.unet import VideoUNet, VideoUNetConfig
 
     remat_max_ds = {"ds1": 1, "ds2": 2, "ds4": 4}.get(args.remat)
+    remat_policy = args.remat if args.remat in ("names", "dots") else None
     ucfg = VideoUNetConfig(attn_backend=args.attn, remat=args.remat != "off",
-                           remat_max_ds=remat_max_ds)
+                           remat_max_ds=remat_max_ds, remat_policy=remat_policy)
     unet = VideoUNet(ucfg)
     t = args.frames
     hl, wl = args.height // 8, args.width // 8
@@ -172,7 +177,9 @@ def main():
     print(json.dumps({
         "metric": f"train fwd+bwd steps/sec ({args.height}x{args.width}, "
                   f"{t}f, full loss, bf16"
-                  + {"on": "+remat", "off": ", no remat"}.get(
+                  + {"on": "+remat", "off": ", no remat",
+                     "names": "+remat(save attn/ff)",
+                     "dots": "+remat(save dots)"}.get(
                       args.remat, f", remat<= {args.remat}") + ")",
         "value": round(1.0 / dt, 4),
         "unit": "steps/sec",

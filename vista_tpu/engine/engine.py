@@ -127,13 +127,15 @@ class VistaEngine:
 
         Counterpart of the reference's lack of any multi-GPU inference story
         (sample.py is single-device); scaling-book-style sharded inference
-        comes free from the mesh. Use the ``xla`` attention backend for
-        multi-chip runs — the Pallas kernels are single-chip specialists
-        that GSPMD must all-gather around. ``mesh.shape[axis]`` must divide
-        the frame count itself — the (t, h, w, c) latents are the sharded
-        arrays (t=25: mesh axes of 5 or 25 work; pjit rejects uneven
-        shardings rather than silently padding, which would corrupt
-        temporal attention).
+        comes free from the mesh. The Pallas kernel stack stays live
+        multi-chip: tracing runs under ``parallel.kernel_sharding``, so
+        every kernel call site becomes a ``shard_map`` island executing the
+        unmodified single-chip kernel on its local batch shard (exactness
+        pinned by tests/test_sharded_sampling.py::test_pallas_*).
+        ``mesh.shape[axis]`` must divide the frame count itself — the
+        (t, h, w, c) latents are the sharded arrays (t=25: mesh axes of 5
+        or 25 work; pjit rejects uneven shardings rather than silently
+        padding, which would corrupt temporal attention).
 
         ``mode="height"`` shards the latent *height* axis instead — the
         sequence-parallel layout (SURVEY.md §5.7 / parallel/sp_attention.py,
@@ -179,6 +181,8 @@ class VistaEngine:
             jitted = {}  # one jit per argument-presence signature
 
             def wrapper(p, noise, cond, uc, cf, cm):
+                from vista_tpu.parallel.kernel_sharding import kernel_sharding
+
                 n = noise.shape[0]
                 sig = (tuple(sorted(cond)),
                        None if uc is None else tuple(sorted(uc)),
@@ -203,7 +207,12 @@ class VistaEngine:
                                       (repl if mode == "height" else frames)),
                         out_shardings=frames,
                     )
-                return jitted[sig](p, noise, cond, uc, cf, cm)
+                # trace-time context: kernel call sites become shard_map
+                # islands over the frame/batch-sharded axis instead of
+                # GSPMD-replicated opaque custom calls (no-op re-entry once
+                # the program is compiled)
+                with kernel_sharding(mesh, (axis,)):
+                    return jitted[sig](p, noise, cond, uc, cf, cm)
 
             return wrapper
 

@@ -31,10 +31,19 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from jax.ad_checkpoint import checkpoint_name
+
 from vista_tpu.models.layers import AlphaBlender, GroupNorm32, dense, timestep_embedding, zero_init
 from vista_tpu.ops.attention import attention_packed
 
 Array = jnp.ndarray
+
+# checkpoint_name tags below ("attn1_out"/"attn2_out"/"ff_out"/
+# "temporal_attn_out") are identity ops unless the UNet runs with
+# remat_policy="names" (save_only_these_names): then the rematted blocks
+# store these FLOPs-heavy outputs and recompute only the cheap elementwise/
+# norm tail in backward — the middle ground between full block remat and
+# no remat (VideoUNetConfig.remat_policy).
 
 ACTION_CONTEXT_DIM = 128 * 19  # five action modalities x 128-dim sinusoidal embeds
 
@@ -269,9 +278,10 @@ def pre_ln_geglu_ff(x: Array, dim: int, dtype, ln_name: str, ff_name: str,
     if resolve_backend(backend) == "pallas" and ff_input_supported(x.shape) and dim == c:
         ln_s, ln_b = _LNScope(c, name=ln_name)()
         w1, b1, w2, b2 = _FFParams(dim, name=ff_name)()
-        return fused_geglu_ff(x, ln_s, ln_b, w1, b1, w2, b2)
-    return x + GEGLUFeedForward(dim, dtype=dtype, name=ff_name)(
-        LayerNorm(name=ln_name)(x))
+        return checkpoint_name(fused_geglu_ff(x, ln_s, ln_b, w1, b1, w2, b2),
+                               "ff_out")
+    return x + checkpoint_name(GEGLUFeedForward(dim, dtype=dtype, name=ff_name)(
+        LayerNorm(name=ln_name)(x)), "ff_out")
 
 
 def pre_ln_self_attention(x: Array, heads: int, dim_head: int, dim: int,
@@ -293,13 +303,14 @@ def pre_ln_self_attention(x: Array, heads: int, dim_head: int, dim: int,
         ln_s, ln_b = _LNScope(c, name=ln_name)()
         wq, wk, wv, wo, bo = _SelfAttnParams(c, inner, name=attn_name)()
         q, k, v = fused_ln_qkv(x, ln_s, ln_b, wq, wk, wv)
-        o = attention_packed(q, k, v, heads, backend=backend)
+        o = checkpoint_name(attention_packed(q, k, v, heads, backend=backend),
+                            "attn1_out")
         y = o @ wo.astype(o.dtype) + bo.astype(o.dtype)
         return x + y
-    return x + CrossAttention(
+    return x + checkpoint_name(CrossAttention(
         heads, dim_head, dim, context_dim=None, add_lora=add_lora,
         backend=backend, dtype=dtype, name=attn_name,
-    )(LayerNorm(name=ln_name)(x))
+    )(LayerNorm(name=ln_name)(x)), "attn1_out")
 
 
 class TransformerBlock(nn.Module):
@@ -319,11 +330,11 @@ class TransformerBlock(nn.Module):
         x = pre_ln_self_attention(
             x, self.heads, self.dim_head, self.dim, self.dtype, self.add_lora,
             "norm1", "attn1", self.backend)
-        x = x + CrossAttention(
+        x = x + checkpoint_name(CrossAttention(
             self.heads, self.dim_head, self.dim, context_dim=self.context_dim,
             add_lora=self.add_lora, action_control=self.action_control,
             backend=self.backend, dtype=self.dtype, name="attn2",
-        )(LayerNorm(name="norm2")(x), context=context)
+        )(LayerNorm(name="norm2")(x), context=context), "attn2_out")
         x = pre_ln_geglu_ff(x, self.dim, self.dtype, "norm3", "ff", self.backend)
         return x
 
@@ -370,22 +381,24 @@ class _TemporalCore(nn.Module):
             # t=25 -> 32); valid_t masks their keys.
             ln_s, ln_b = _LNScope(self.dim, name="norm1")()
             wq, wk, wv, wo, bo = _SelfAttnParams(self.dim, inner, name="attn1")()
-            x = fused_temporal_self_attn(x, ln_s, ln_b, wq, wk, wv, wo, bo,
+            x = checkpoint_name(
+                fused_temporal_self_attn(x, ln_s, ln_b, wq, wk, wv, wo, bo,
                                          self.heads,
-                                         self.valid_t or x.shape[1])
+                                         self.valid_t or x.shape[1]),
+                "temporal_attn_out")
         else:
-            x = x + CrossAttention(
+            x = x + checkpoint_name(CrossAttention(
                 self.heads, self.dim_head, self.dim, context_dim=None,
                 add_lora=self.add_lora, backend=self.backend, dtype=self.dtype,
                 name="attn1",
-            )(LayerNorm(name="norm1")(x))
+            )(LayerNorm(name="norm1")(x)), "temporal_attn_out")
 
         if time_context is not None or self.context_dim is not None:
-            x = x + CrossAttention(
+            x = x + checkpoint_name(CrossAttention(
                 self.heads, self.dim_head, self.dim, context_dim=self.context_dim,
                 add_lora=self.add_lora, action_control=self.action_control,
                 backend=self.backend, dtype=self.dtype, name="attn2",
-            )(LayerNorm(name="norm2")(x), context=time_context)
+            )(LayerNorm(name="norm2")(x), context=time_context), "attn2_out")
 
         x = pre_ln_geglu_ff(x, self.dim, self.dtype, "norm3", "ff", self.backend)
         return carry, x

@@ -67,6 +67,18 @@ class VideoUNetConfig:
     # activation footprint of a ds1 block) and skips ~37% of the
     # backward recompute. No effect unless remat=True.
     remat_max_ds: Optional[int] = None
+    # Remat POLICY (jax.checkpoint checkpoint_policies), a finer lever than
+    # the all-or-nothing block remat: inside rematted blocks, save the named
+    # FLOPs-heavy op outputs and recompute only the cheap tail.
+    #   None    = classic full block remat (save only block inputs)
+    #   "names" = save the attention/FF kernel outputs tagged with
+    #             jax.ad_checkpoint.checkpoint_name in models/attention.py
+    #             (save_only_these_names) — skips recomputing the attention
+    #             and feed-forward matmuls in backward at the cost of
+    #             storing their (bt, s, c)-sized outputs
+    #   "dots"  = XLA-chosen dots_with_no_batch_dims_saveable
+    # No effect unless remat=True.
+    remat_policy: Optional[str] = None
 
     @property
     def compute_dtype(self):
@@ -138,8 +150,21 @@ class VideoUNet(nn.Module):
         # remat_max_ds gates it by downsample factor: blocks deeper than the
         # threshold store their intermediates (small activations, recompute
         # not worth it).
-        remat_res_cls = nn.remat(VideoResBlock, static_argnums=(3,))
-        remat_attn_cls = nn.remat(SpatialVideoTransformer, static_argnums=(3,))
+        policy = None
+        if cfg.remat_policy == "names":
+            import jax
+
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn1_out", "attn2_out", "ff_out", "temporal_attn_out")
+        elif cfg.remat_policy == "dots":
+            import jax
+
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif cfg.remat_policy is not None:
+            raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+        remat_res_cls = nn.remat(VideoResBlock, static_argnums=(3,), policy=policy)
+        remat_attn_cls = nn.remat(SpatialVideoTransformer, static_argnums=(3,),
+                                  policy=policy)
 
         def block_classes(ds):
             use = cfg.remat and (cfg.remat_max_ds is None

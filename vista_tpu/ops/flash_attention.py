@@ -391,9 +391,7 @@ def _flash_bwd_packed(q, k, v, out, lse, g, num_heads):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention_packed(q: Array, k: Array, v: Array, num_heads: int) -> Array:
-    """Attention on packed ``(B, S, heads*dim_head)`` tensors — the dense
-    projections' natural layout; no head split/transpose relayouts."""
+def _flash_attention_packed_local(q: Array, k: Array, v: Array, num_heads: int) -> Array:
     return _flash_fwd_packed(q, k, v, num_heads, want_lse=False)
 
 
@@ -407,7 +405,22 @@ def _packed_bwd(num_heads, residuals, g):
     return _flash_bwd_packed(q, k, v, out, lse, g, num_heads)
 
 
-flash_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+_flash_attention_packed_local.defvjp(_packed_fwd, _packed_bwd)
+
+
+def flash_attention_packed(q: Array, k: Array, v: Array, num_heads: int) -> Array:
+    """Attention on packed ``(B, S, heads*dim_head)`` tensors — the dense
+    projections' natural layout; no head split/transpose relayouts.
+
+    Under an active ``parallel.kernel_sharding`` context the batch dim runs
+    as a shard_map island (each chip executes the unmodified single-chip
+    kernel on its local rows — attention rows are independent, so this is
+    exact with zero collectives)."""
+    from vista_tpu.parallel.kernel_sharding import shard_kernel
+
+    return shard_kernel(
+        lambda q, k, v: _flash_attention_packed_local(q, k, v, num_heads),
+        (0, 0, 0), 0, q, k, v)
 
 
 # ---- legacy 4D (B, S, H, D) entry (tests, sp_attention interop) ----

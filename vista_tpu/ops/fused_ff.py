@@ -172,10 +172,23 @@ def _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _fused_geglu_ff_local(x: Array, ln_s: Array, ln_b: Array, w1: Array, b1: Array,
+                          w2: Array, b2: Array, eps: float = 1e-5) -> Array:
+    return _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps)
+
+
 def fused_geglu_ff(x: Array, ln_s: Array, ln_b: Array, w1: Array, b1: Array,
                    w2: Array, b2: Array, eps: float = 1e-5) -> Array:
-    """``x + proj_out(geglu(proj_in(LN(x))))`` in one VMEM-resident pass."""
-    return _ff_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps)
+    """``x + proj_out(geglu(proj_in(LN(x))))`` in one VMEM-resident pass.
+
+    Token rows are independent; under ``parallel.kernel_sharding`` the batch
+    dim runs as a zero-collective shard_map island (weights replicated)."""
+    from vista_tpu.parallel.kernel_sharding import shard_kernel
+
+    return shard_kernel(
+        lambda *a: _fused_geglu_ff_local(*a, eps),
+        (0, None, None, None, None, None, None), 0,
+        x, ln_s, ln_b, w1, b1, w2, b2)
 
 
 def _vjp_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
@@ -547,4 +560,4 @@ def _vjp_bwd(eps, residuals, g):
     return (dx.reshape(x.shape), *(dp.sum(axis=0) for dp in dps))
 
 
-fused_geglu_ff.defvjp(_vjp_fwd, _vjp_bwd)
+_fused_geglu_ff_local.defvjp(_vjp_fwd, _vjp_bwd)

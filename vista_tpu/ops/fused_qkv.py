@@ -121,10 +121,24 @@ def _fwd(x, ln_s, ln_b, wq, wk, wv, eps):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_ln_qkv_local(x: Array, ln_s: Array, ln_b: Array,
+                        wq: Array, wk: Array, wv: Array, eps: float = 1e-5):
+    return _fwd(x, ln_s, ln_b, wq, wk, wv, eps)
+
+
 def fused_ln_qkv(x: Array, ln_s: Array, ln_b: Array,
                  wq: Array, wk: Array, wv: Array, eps: float = 1e-5):
-    """``(q, k, v) = to_qkv(LN(x))`` in one VMEM-resident pass."""
-    return _fwd(x, ln_s, ln_b, wq, wk, wv, eps)
+    """``(q, k, v) = to_qkv(LN(x))`` in one VMEM-resident pass.
+
+    Token rows are independent; under ``parallel.kernel_sharding`` the batch
+    dim runs as a shard_map island (weights replicated per shard — the same
+    just-in-time gather GSPMD gives a plain matmul)."""
+    from vista_tpu.parallel.kernel_sharding import shard_kernel
+
+    return shard_kernel(
+        lambda *a: _fused_ln_qkv_local(*a, eps),
+        (0, None, None, None, None, None), (0, 0, 0),
+        x, ln_s, ln_b, wq, wk, wv)
 
 
 def _vjp_fwd(x, ln_s, ln_b, wq, wk, wv, eps):
@@ -275,4 +289,4 @@ def _vjp_bwd(eps, residuals, g):
     return (dx.reshape(x.shape), *(dp.sum(axis=0) for dp in dps))
 
 
-fused_ln_qkv.defvjp(_vjp_fwd, _vjp_bwd)
+_fused_ln_qkv_local.defvjp(_vjp_fwd, _vjp_bwd)

@@ -169,6 +169,14 @@ def _fwd(x, ln_s, ln_b, wq, wk, wv, wo, bo, num_heads, valid_t, eps):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _fused_temporal_self_attn_local(x: Array, ln_s: Array, ln_b: Array,
+                                    wq: Array, wk: Array, wv: Array,
+                                    wo: Array, bo: Array,
+                                    num_heads: int, valid_t: int,
+                                    eps: float = 1e-5) -> Array:
+    return _fwd(x, ln_s, ln_b, wq, wk, wv, wo, bo, num_heads, valid_t, eps)
+
+
 def fused_temporal_self_attn(x: Array, ln_s: Array, ln_b: Array,
                              wq: Array, wk: Array, wv: Array,
                              wo: Array, bo: Array,
@@ -178,8 +186,16 @@ def fused_temporal_self_attn(x: Array, ln_s: Array, ln_b: Array,
 
     ``valid_t``: number of real frame tokens; key positions >= valid_t
     (sublane padding) are masked out of the softmax. Outputs at padded
-    query rows are garbage and must be sliced off by the caller."""
-    return _fwd(x, ln_s, ln_b, wq, wk, wv, wo, bo, num_heads, valid_t, eps)
+    query rows are garbage and must be sliced off by the caller.
+
+    Rows (spatial locations) are independent; under
+    ``parallel.kernel_sharding`` the row dim runs as a shard_map island."""
+    from vista_tpu.parallel.kernel_sharding import shard_kernel
+
+    return shard_kernel(
+        lambda *a: _fused_temporal_self_attn_local(*a, num_heads, valid_t, eps),
+        (0, None, None, None, None, None, None, None), 0,
+        x, ln_s, ln_b, wq, wk, wv, wo, bo)
 
 
 def _vjp_fwd(x, ln_s, ln_b, wq, wk, wv, wo, bo, num_heads, valid_t, eps):
@@ -391,4 +407,4 @@ def _vjp_bwd(num_heads, valid_t, eps, residuals, g):
     return vjp(g)
 
 
-fused_temporal_self_attn.defvjp(_vjp_fwd, _vjp_bwd)
+_fused_temporal_self_attn_local.defvjp(_vjp_fwd, _vjp_bwd)

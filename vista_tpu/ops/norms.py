@@ -63,6 +63,10 @@ def _ln_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm_local(x: Array, gamma: Array, beta: Array, eps: float = 1e-5) -> Array:
+    return _layer_norm_fwd_impl(x, gamma, beta, eps)
+
+
 def layer_norm(x: Array, gamma: Array, beta: Array, eps: float = 1e-5) -> Array:
     """Row LayerNorm over the minor dim with fp32 stats; 1 read + 1 write.
 
@@ -73,8 +77,15 @@ def layer_norm(x: Array, gamma: Array, beta: Array, eps: float = 1e-5) -> Array:
 
     Backward: XLA-recompute VJP (a raw pallas_call has no autodiff rule —
     without this, any TPU training step through the pallas LN fails to
-    linearize)."""
-    return _layer_norm_fwd_impl(x, gamma, beta, eps)
+    linearize).
+
+    Rows are independent; under ``parallel.kernel_sharding`` the leading dim
+    runs as a zero-collective shard_map island."""
+    from vista_tpu.parallel.kernel_sharding import shard_kernel
+
+    return shard_kernel(
+        lambda x, g, b: _layer_norm_local(x, g, b, eps),
+        (0, None, None), 0, x, gamma, beta)
 
 
 def _layer_norm_xla(x, gamma, beta, eps=1e-5):
@@ -151,4 +162,4 @@ def _layer_norm_fwd_impl(x: Array, gamma: Array, beta: Array, eps: float) -> Arr
     return out.reshape(orig_shape)
 
 
-layer_norm.defvjp(_layer_norm_vjp_fwd, _layer_norm_vjp_bwd)
+_layer_norm_local.defvjp(_layer_norm_vjp_fwd, _layer_norm_vjp_bwd)

@@ -181,13 +181,45 @@ def _fwd_impl(x: Array, w: Array, b: Array, num_frames: int) -> Array:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _temporal_conv3_local(x: Array, w: Array, b: Array, num_frames: int) -> Array:
+    return _fwd_impl(x, w, b, num_frames)
+
+
+def _shard_dim(bt: int, s: int, num_frames: int):
+    """Shardable dim of a frame-major ``(bt, s, c)`` kernel input under the
+    active kernel-sharding context. The frame axis carries a 3-tap halo, so
+    dim 0 is only safe when each shard gets WHOLE videos (contiguous equal
+    chunks of ``bt = b*t`` rows align with video boundaries iff the video
+    count divides the group). Otherwise the token dim ``s`` is a pure batch
+    dim — shard it when the local slice stays sublane-aligned. None = leave
+    the call to GSPMD."""
+    from vista_tpu.parallel.kernel_sharding import group_size
+
+    g = group_size()
+    if g == 1:
+        return None
+    if bt % num_frames == 0 and (bt // num_frames) % g == 0:
+        return 0
+    if s % g == 0 and (s // g) % 8 == 0:
+        return 1
+    return None
+
+
 def temporal_conv3(x: Array, w: Array, b: Array, num_frames: int) -> Array:
     """SAME 3-tap convolution over the frame axis of frame-major ``x``.
 
     x: ``(b*num_frames, s, c_in)`` with frames of each video contiguous.
     w: ``(3, c_in, c_out)`` taps (t-1, t, t+1). b: ``(c_out,)``.
+
+    Under ``parallel.kernel_sharding`` this runs as a shard_map island over
+    whole videos (dim 0) or over the token dim (dim 1) — see ``_shard_dim``.
     """
-    return _fwd_impl(x, w, b, num_frames)
+    from vista_tpu.parallel.kernel_sharding import shard_kernel
+
+    dim = _shard_dim(x.shape[0], x.shape[1], num_frames)
+    return shard_kernel(
+        lambda x, w, b: _temporal_conv3_local(x, w, b, num_frames),
+        (dim, None, None), dim, x, w, b)
 
 
 def _vjp_fwd(x, w, b, num_frames):
@@ -224,7 +256,7 @@ def _vjp_bwd(num_frames, residuals, gy):
     return dx.astype(x.dtype), dw, db
 
 
-temporal_conv3.defvjp(_vjp_fwd, _vjp_bwd)
+_temporal_conv3_local.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 # --------------------------------------------------------------------------
@@ -353,7 +385,10 @@ def _gn_conv3_compose(x, scale, shift, w, b, num_frames, emb, residual,
     a = x.astype(jnp.float32) * scale.astype(jnp.float32)[:, None, :] \
         + shift.astype(jnp.float32)[:, None, :]
     xn = _silu_f32(a).astype(x.dtype)
-    y = temporal_conv3(xn, w, b, num_frames).astype(jnp.float32)
+    # NOTE: the _local entry, not the sharding-aware wrapper — this runs
+    # inside custom_vjp backward functions, which trace OUTSIDE the island
+    # body's suspended context (nesting a shard_map there would be invalid).
+    y = _temporal_conv3_local(xn, w, b, num_frames).astype(jnp.float32)
     if emb is not None:
         y = y + emb.astype(jnp.float32)[:, None, :]
     if residual is not None:
@@ -362,12 +397,7 @@ def _gn_conv3_compose(x, scale, shift, w, b, num_frames, emb, residual,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_gn_silu_conv3_emb(x, scale, shift, w, b, emb, num_frames):
-    """``conv3(silu(x*scale + shift)) + b + emb`` in one VMEM pass.
-
-    x: (bt, s, cin); scale/shift: (bt, cin) per-frame-channel GroupNorm
-    affine (stats folded by the caller); emb: (bt, cout) per-frame bias.
-    """
+def _fused_gn_silu_conv3_emb_local(x, scale, shift, w, b, emb, num_frames):
     if _PALLAS:
         return _gn_conv3_pallas(x, scale, shift, w, b, num_frames, emb,
                                 None, None)
@@ -375,8 +405,29 @@ def fused_gn_silu_conv3_emb(x, scale, shift, w, b, emb, num_frames):
                              None, None)
 
 
+def fused_gn_silu_conv3_emb(x, scale, shift, w, b, emb, num_frames):
+    """``conv3(silu(x*scale + shift)) + b + emb`` in one VMEM pass.
+
+    x: (bt, s, cin); scale/shift: (bt, cin) per-frame-channel GroupNorm
+    affine (stats folded by the caller); emb: (bt, cout) per-frame bias.
+
+    Under ``parallel.kernel_sharding``: shard_map island over whole videos
+    (dim 0, affine/emb sharded along) or the token dim (dim 1, affine/emb
+    replicated) — see ``_shard_dim``.
+    """
+    from vista_tpu.parallel.kernel_sharding import shard_kernel
+
+    dim = _shard_dim(x.shape[0], x.shape[1], num_frames)
+    row = dim if dim == 0 else None  # (bt, c) operands follow dim-0 shards
+    return shard_kernel(
+        lambda x, sc, sh, w, b, e: _fused_gn_silu_conv3_emb_local(
+            x, sc, sh, w, b, e, num_frames),
+        (dim, row, row, None, None, row), dim,
+        x, scale, shift, w, b, emb)
+
+
 def _emb_vjp_fwd(x, scale, shift, w, b, emb, num_frames):
-    return (fused_gn_silu_conv3_emb(x, scale, shift, w, b, emb, num_frames),
+    return (_fused_gn_silu_conv3_emb_local(x, scale, shift, w, b, emb, num_frames),
             (x, scale, shift, w, b, emb))
 
 
@@ -390,18 +441,12 @@ def _emb_vjp_bwd(num_frames, res, gy):
     return dx, dscale, dshift, dw, db, demb
 
 
-fused_gn_silu_conv3_emb.defvjp(_emb_vjp_fwd, _emb_vjp_bwd)
+_fused_gn_silu_conv3_emb_local.defvjp(_emb_vjp_fwd, _emb_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_gn_silu_conv3_res(x, scale, shift, w, b, residual, res_scale,
-                            num_frames):
-    """``residual + res_scale * (conv3(silu(x*scale + shift)) + b)``.
-
-    The epilogue is the algebraic collapse of the temporal residual add
-    followed by the AlphaBlender: ``a*xs + (1-a)*(xs + h) = xs + (1-a)*h``
-    with ``residual = xs`` and ``res_scale = 1 - a``.
-    """
+def _fused_gn_silu_conv3_res_local(x, scale, shift, w, b, residual, res_scale,
+                                   num_frames):
     if _PALLAS:
         return _gn_conv3_pallas(x, scale, shift, w, b, num_frames, None,
                                 residual, res_scale)
@@ -409,9 +454,31 @@ def fused_gn_silu_conv3_res(x, scale, shift, w, b, residual, res_scale,
                              residual, res_scale)
 
 
+def fused_gn_silu_conv3_res(x, scale, shift, w, b, residual, res_scale,
+                            num_frames):
+    """``residual + res_scale * (conv3(silu(x*scale + shift)) + b)``.
+
+    The epilogue is the algebraic collapse of the temporal residual add
+    followed by the AlphaBlender: ``a*xs + (1-a)*(xs + h) = xs + (1-a)*h``
+    with ``residual = xs`` and ``res_scale = 1 - a``.
+
+    Sharding: as ``fused_gn_silu_conv3_emb`` (res_scale is a replicated
+    scalar whose cotangent psums across shards).
+    """
+    from vista_tpu.parallel.kernel_sharding import shard_kernel
+
+    dim = _shard_dim(x.shape[0], x.shape[1], num_frames)
+    row = dim if dim == 0 else None
+    return shard_kernel(
+        lambda x, sc, sh, w, b, r, rs: _fused_gn_silu_conv3_res_local(
+            x, sc, sh, w, b, r, rs, num_frames),
+        (dim, row, row, None, None, dim, None), dim,
+        x, scale, shift, w, b, residual, res_scale)
+
+
 def _res_vjp_fwd(x, scale, shift, w, b, residual, res_scale, num_frames):
-    out = fused_gn_silu_conv3_res(x, scale, shift, w, b, residual,
-                                  res_scale, num_frames)
+    out = _fused_gn_silu_conv3_res_local(x, scale, shift, w, b, residual,
+                                         res_scale, num_frames)
     return out, (x, scale, shift, w, b, res_scale)
 
 
@@ -428,4 +495,4 @@ def _res_vjp_bwd(num_frames, res, gy):
     return dx, dscale, dshift, dw, db, dres, drs
 
 
-fused_gn_silu_conv3_res.defvjp(_res_vjp_fwd, _res_vjp_bwd)
+_fused_gn_silu_conv3_res_local.defvjp(_res_vjp_fwd, _res_vjp_bwd)

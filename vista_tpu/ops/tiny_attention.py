@@ -129,9 +129,20 @@ def _xla_packed_reference(q: Array, k: Array, v: Array, num_heads: int) -> Array
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def tiny_attention_packed(q: Array, k: Array, v: Array, num_heads: int) -> Array:
-    """Fused attention on ``(rows, T, heads*d)``; gate via tiny_shape_supported."""
+def _tiny_attention_packed_local(q: Array, k: Array, v: Array, num_heads: int) -> Array:
     return _tiny_fwd(q, k, v, num_heads)
+
+
+def tiny_attention_packed(q: Array, k: Array, v: Array, num_heads: int) -> Array:
+    """Fused attention on ``(rows, T, heads*d)``; gate via tiny_shape_supported.
+
+    Rows are independent, so under ``parallel.kernel_sharding`` the row dim
+    runs as a zero-collective shard_map island (exact)."""
+    from vista_tpu.parallel.kernel_sharding import shard_kernel
+
+    return shard_kernel(
+        lambda q, k, v: _tiny_attention_packed_local(q, k, v, num_heads),
+        (0, 0, 0), 0, q, k, v)
 
 
 def _vjp_fwd(q, k, v, num_heads):
@@ -217,4 +228,4 @@ def _vjp_bwd(num_heads, residuals, g):
     return vjp(g)
 
 
-tiny_attention_packed.defvjp(_vjp_fwd, _vjp_bwd)
+_tiny_attention_packed_local.defvjp(_vjp_fwd, _vjp_bwd)

@@ -40,10 +40,13 @@ def sp_attention(
     """
 
     def local_attn(q_shard: Array, k_shard: Array, v_shard: Array) -> Array:
+        from vista_tpu.parallel.kernel_sharding import suspend
+
         # gather the full key/value sequence over ICI; queries stay local
         k_full = jax.lax.all_gather(k_shard, axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v_shard, axis, axis=1, tiled=True)
-        return dot_product_attention(q_shard, k_full, v_full, backend=backend)
+        with suspend():  # this body IS the island; don't nest kernel islands
+            return dot_product_attention(q_shard, k_full, v_full, backend=backend)
 
     spec = P(None, axis, None, None)
     return jax.shard_map(

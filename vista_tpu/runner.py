@@ -33,7 +33,8 @@ from vista_tpu.data.pipeline import DataConfig
 from vista_tpu.diffusion import GuiderConfig, SamplerConfig
 from vista_tpu.engine import EngineConfig, VistaEngine
 from vista_tpu.engine.training import TrainConfig, create_train_state, make_train_step
-from vista_tpu.parallel import batch_sharding, fsdp_param_specs, make_mesh, shard_pytree
+from vista_tpu.parallel import (batch_sharding, fsdp_param_specs, kernel_sharding,
+                                make_mesh, shard_pytree)
 from vista_tpu.utils import checkpoint as ckpt_io
 from vista_tpu.utils.video import save_grid_png, save_video_mp4
 
@@ -242,8 +243,9 @@ class Trainer:
         totals: Dict[str, float] = {}
         for i, batch in enumerate(self._val_batches):
             key = jax.random.fold_in(jax.random.key(run.seed + 17), i)
-            loss, aux = self._eval_fn(self.state.ema_params, self.frozen,
-                                      self._put_batch(batch), key)
+            with kernel_sharding(self.mesh, ("data",)):
+                loss, aux = self._eval_fn(self.state.ema_params, self.frozen,
+                                          self._put_batch(batch), key)
             vals = {"val_loss": float(loss),
                     **{f"val_{k}": float(v) for k, v in aux.items()}}
             for k, v in vals.items():
@@ -334,7 +336,13 @@ class Trainer:
             batch = next(it)
             device_batch = self._put_batch(batch)
             key = jax.random.fold_in(jax.random.key(run.seed), int(self.state.step))
-            self.state, metrics = self.step_fn(self.state, self.frozen, device_batch, key)
+            # trace-time context: Pallas kernel call sites partition as
+            # shard_map islands over the `data` batch axis instead of
+            # GSPMD-replicated opaque custom calls (a no-op once compiled,
+            # and on 1-device meshes)
+            with kernel_sharding(self.mesh, ("data",)):
+                self.state, metrics = self.step_fn(self.state, self.frozen,
+                                                   device_batch, key)
             step = int(self.state.step)
             if step % run.log_every == 0 or step == 1:
                 now = time.perf_counter()
