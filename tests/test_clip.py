@@ -69,8 +69,12 @@ class TestCLIPGoldenParity:
         model = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
         return torch, model
 
-    def _to_open_clip_sd(self, torch, model):
-        """HF names -> open_clip visual-tower names (modules.py:251-399)."""
+    def _to_open_clip_sd(self, torch, model, numpy=True):
+        """HF names -> open_clip visual-tower names (modules.py:251-399).
+
+        ``numpy=False`` returns torch tensors instead — usable with
+        meta-device models for structural (shape-only) audits
+        (tests/test_full_scale_keymap.py)."""
         sd = model.state_dict()
         out = {}
         out["conv1.weight"] = sd["vision_model.embeddings.patch_embedding.weight"]
@@ -105,6 +109,8 @@ class TestCLIPGoldenParity:
         out["ln_post.bias"] = sd["vision_model.post_layernorm.bias"]
         # open_clip stores proj as (width, out) used as x @ proj
         out["proj"] = sd["visual_projection.weight"].t().contiguous()
+        if not numpy:
+            return out
         return {k: v.detach().numpy() for k, v in out.items()}
 
     def test_tower_matches_hf_clip(self):
