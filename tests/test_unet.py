@@ -71,14 +71,20 @@ class TestVideoUNet:
         Also covers selective checkpointing (remat_max_ds): the tiny config
         runs blocks at ds 1 and 2, so remat_max_ds=1 exercises the mixed
         remat/stored path — same outputs, same param tree (checkpoint
-        compatibility across remat modes).
+        compatibility across remat modes). And the remat POLICY lever
+        (remat_policy="names"/"dots": save attention/FF outputs inside
+        rematted blocks, recompute the cheap tail) — numerics and param
+        tree must be unchanged; only the backward's store/recompute split
+        differs.
         """
         import dataclasses
         cfg, model, params, (x, t, context, y, cond_mask) = tiny_setup
         params_p = jax.tree.map(lambda p: p + 0.01, params)
         out_plain = model.apply(params_p, x, t, context, y, cond_mask, cfg.num_frames)
 
-        for kw in ({"remat": True}, {"remat": True, "remat_max_ds": 1}):
+        for kw in ({"remat": True}, {"remat": True, "remat_max_ds": 1},
+                   {"remat": True, "remat_policy": "names"},
+                   {"remat": True, "remat_policy": "dots"}):
             cfg_r = dataclasses.replace(cfg, **kw)
             model_r = VideoUNet(cfg_r)
             # param tree layout must be identical across remat modes

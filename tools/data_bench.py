@@ -31,7 +31,21 @@ def main():
     p.add_argument("--width", type=int, default=576)
     p.add_argument("--threads", type=int, default=os.cpu_count() or 1)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--pipeline", action="store_true",
+                   help="end-to-end sustained throughput THROUGH "
+                        "data/pipeline.py (dataset sampling + threaded "
+                        "decode + prefetch queue) from an on-disk synthetic "
+                        "frame folder, instead of the per-batch decode "
+                        "microbench — the number that answers 'can the host "
+                        "feed N chips' (BASELINE.md host-pipeline table)")
+    p.add_argument("--seconds", type=float, default=20.0,
+                   help="--pipeline measurement window")
+    p.add_argument("--frames", type=int, default=25,
+                   help="--pipeline clip length")
     args = p.parse_args()
+
+    if args.pipeline:
+        return pipeline_bench(args)
 
     from PIL import Image
 
@@ -93,6 +107,72 @@ def main():
                   f"{args.threads} threads)",
         **results,
         "train_consumption_imgs_per_s_per_chip": 20.3,
+    }))
+
+
+def pipeline_bench(args):
+    """Sustained frames/s through the real input pipeline (round-4 verdict
+    item #7): synthetic camera-resolution JPEGs on disk -> YouTubeFramesDataset
+    (native libjpeg+Lanczos decode) -> MultiSourceSampler -> DataPipeline's
+    worker threads + bounded prefetch queue -> consumer loop. Reports the
+    cores-per-chip requirement against the measured training demand."""
+    import json
+    import tempfile
+
+    from PIL import Image
+
+    from vista_tpu.data.datasets import DatasetConfig, YouTubeFramesDataset
+    from vista_tpu.data.pipeline import DataPipeline, MultiSourceSampler, PipelineConfig
+
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 255, (args.src_height // 8, args.src_width // 8, 3),
+                       np.uint8)
+    frame = np.asarray(Image.fromarray(base).resize(
+        (args.src_width, args.src_height), Image.BILINEAR), np.uint8)
+
+    with tempfile.TemporaryDirectory() as root:
+        folder = os.path.join(root, "video0")
+        os.makedirs(folder)
+        n_files = args.frames + 15
+        for i in range(1, n_files + 1):
+            Image.fromarray(np.roll(frame, i * 7, axis=1)).save(
+                os.path.join(folder, str(i).zfill(9) + ".jpg"), quality=90)
+        annos = [{"folder": "video0", "first_frame": k} for k in range(1, 16)]
+        anno_file = os.path.join(root, "anno.json")
+        with open(anno_file, "w") as f:
+            json.dump(annos, f)
+
+        ds = YouTubeFramesDataset(DatasetConfig(
+            anno_file=anno_file, data_root=root, height=args.height,
+            width=args.width, num_frames=args.frames))
+        pipe = DataPipeline(
+            MultiSourceSampler([ds], seed=0),
+            PipelineConfig(batch_size=1, prefetch=4, num_threads=args.threads))
+        it = iter(pipe)
+        next(it)  # warm-up: thread spawn + first decode
+        t0 = time.perf_counter()
+        batches = 0
+        while time.perf_counter() - t0 < args.seconds:
+            next(it)
+            batches += 1
+        elapsed = time.perf_counter() - t0
+        pipe.stop()
+
+    fps = batches * args.frames / elapsed
+    # measured training demand (PARITY.md round-4 table, BASELINE #5):
+    # 0.861 steps/s x 25 frames at 320x576 on one v5e chip
+    demand = 0.861 * 25
+    host_cores = os.cpu_count() or 1
+    print(json.dumps({
+        "metric": f"host pipeline sustained frames/s ({args.src_width}x"
+                  f"{args.src_height} JPEG -> {args.width}x{args.height}, "
+                  f"{args.frames}f clips, {args.threads} threads, "
+                  f"{host_cores}-core host)",
+        "sustained_frames_per_s": round(fps, 1),
+        "frames_per_s_per_core": round(fps / host_cores, 1),
+        "train_demand_frames_per_s_per_chip": round(demand, 1),
+        "chips_fed_per_host_core": round(fps / host_cores / demand, 2),
+        "cores_needed_per_chip": round(demand / (fps / host_cores), 2),
     }))
 
 

@@ -97,3 +97,44 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 2.0) -> float:
     num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
     den = (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2)
     return float(np.mean(num / den))
+
+
+def corrupt_clip(clip: np.ndarray, kind: str, strength: float,
+                 rng: np.random.RandomState) -> np.ndarray:
+    """Graded degradations for metric-sensitivity calibration.
+
+    A useful video-quality statistic must move MONOTONICALLY with known
+    corruption strength (tools/quality_bench.py --calibrate pins this for
+    the Fréchet-CLIP proxy; tests/test_quality_calibration.py runs it on
+    the tiny tower). clip: (t, h, w, c) in [-1, 1]; strength in [0, 1].
+
+    - "noise":   additive Gaussian, sigma = strength
+    - "blur":    box blur, kernel width grows with strength
+    - "shuffle": temporal order destroyed for a strength-fraction of frames
+    """
+    if kind == "noise":
+        out = clip + strength * rng.randn(*clip.shape).astype(clip.dtype)
+        return np.clip(out, -1.0, 1.0)
+    if kind == "blur":
+        k = 1 + 2 * int(round(strength * 4))  # 1, 3, 5, 7, 9
+        if k == 1:
+            return clip.copy()
+        pad = k // 2
+        padded = np.pad(clip, ((0, 0), (pad, pad), (pad, pad), (0, 0)), "edge")
+        csum = np.cumsum(np.cumsum(padded, axis=1), axis=2)
+        csum = np.pad(csum, ((0, 0), (1, 0), (1, 0), (0, 0)))
+        h, w = clip.shape[1], clip.shape[2]
+        out = (csum[:, k:k + h, k:k + w] - csum[:, :h, k:k + w]
+               - csum[:, k:k + h, :w] + csum[:, :h, :w]) / (k * k)
+        return out.astype(clip.dtype)
+    if kind == "shuffle":
+        t = clip.shape[0]
+        n = max(2, int(round(strength * t))) if strength > 0 else 0
+        out = clip.copy()
+        if n:
+            idx = np.sort(rng.choice(t, size=n, replace=False))
+            # cyclic shift of the chosen frames: every selected position is
+            # guaranteed displaced (rng.permutation could draw the identity)
+            out[idx] = out[np.roll(idx, 1)]
+        return out
+    raise ValueError(kind)
