@@ -66,6 +66,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache (same dir as bench.py): the full-res fwd+bwd
+    # program compiles ~20 min cold on the single host core; identical-config
+    # reruns become a disk read
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         os.path.expanduser("~/.cache/vista_tpu_xla")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     if args.temporal_conv == "packed" or args.fused_gn == "off":
         import vista_tpu.ops.temporal_conv as _tc
 
