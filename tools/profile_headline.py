@@ -81,10 +81,19 @@ def main():
         print("NO TRACE CAPTURED (remote device?)")
         return
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
-    params_tool = {"tqx": "out:json;"}
-    data = rtd.xspace_to_tool_data(xplane, "framework_op_stats", params_tool)
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+        data = rtd.xspace_to_tool_data(
+            xplane, "framework_op_stats", {"tqx": "out:json;"})
+    except Exception as e:
+        # the tensorboard summarizer breaks across TF/protobuf version bumps
+        # (seen: missing _pywrap_profiler.xspace_to_tools_data, generated-
+        # proto descriptor errors). The capture above already succeeded —
+        # parse the xplane directly with the self-contained analyzer:
+        print(f"tensorboard summarizer unavailable ({type(e).__name__}: {e});"
+              f" analyze with:\n  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION="
+              f"python python tools/xprof.py {xplane[0]}")
+        return
     payload = data[0] if isinstance(data, tuple) else data
     if isinstance(payload, bytes):
         payload = payload.decode()
